@@ -1,0 +1,19 @@
+"""Pallas TPU kernels and XLA reference paths for quantized compute."""
+
+from .int4_matmul import (
+    int4_matmul,
+    int8_matmul,
+    int4_matmul_xla,
+    int8_matmul_xla,
+)
+from .reference import int4_matmul_ref, int8_matmul_ref, quant_linear_ref
+
+__all__ = [
+    "int4_matmul",
+    "int8_matmul",
+    "int4_matmul_xla",
+    "int8_matmul_xla",
+    "int4_matmul_ref",
+    "int8_matmul_ref",
+    "quant_linear_ref",
+]
