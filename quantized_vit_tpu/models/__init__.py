@@ -1,0 +1,57 @@
+"""Model zoo: quantized flax layers, ViT family, UltraNet."""
+
+from .layers import (
+    QuantConfig,
+    QuantDense,
+    QuantConv,
+    init_quant_params_tree,
+    collect_quant_params,
+    bitwidth_dict,
+    QUANT_PARAM_NAMES,
+)
+from .vit import (
+    ViTConfig,
+    VisionTransformer,
+    vit_base_patch16_224,
+    vit_base_patch16_224_in21k,
+    vit_base_patch32_224,
+    vit_base_patch32_224_in21k,
+    vit_large_patch16_224,
+    vit_large_patch16_224_in21k,
+    vit_large_patch32_224_in21k,
+    vit_huge_patch14_224_in21k,
+)
+from .ultranet import (
+    UltraNet,
+    UltraNetInt,
+    DoReFaConv,
+    yolo_decode,
+    ULTRANET_LAYERS,
+    ULTRANET_ANCHORS,
+)
+
+__all__ = [
+    "QuantConfig",
+    "QuantDense",
+    "QuantConv",
+    "init_quant_params_tree",
+    "collect_quant_params",
+    "bitwidth_dict",
+    "QUANT_PARAM_NAMES",
+    "ViTConfig",
+    "VisionTransformer",
+    "vit_base_patch16_224",
+    "vit_base_patch16_224_in21k",
+    "vit_base_patch32_224",
+    "vit_base_patch32_224_in21k",
+    "vit_large_patch16_224",
+    "vit_large_patch16_224_in21k",
+    "vit_large_patch32_224_in21k",
+    "vit_huge_patch14_224_in21k",
+    "UltraNet",
+    "UltraNetInt",
+    "DoReFaConv",
+    "yolo_decode",
+    "ULTRANET_LAYERS",
+    "ULTRANET_ANCHORS",
+]

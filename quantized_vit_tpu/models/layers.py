@@ -1,0 +1,241 @@
+"""Quantized flax layers: the TPU-native counterpart of the reference's
+QuantizeLinear/QuantizeConv2d module surgery.
+
+Reference semantics (quant_layers.py:303-590):
+- each quantized layer owns learnable scalars ``d_quant_wt``, ``q_m_wt``
+  (+ ``t_quant_wt`` for the nonlinear quantizer), and an ``_act`` trio in
+  WEIGHT_AND_ACTIVATION mode;
+- forward = quantize(weight) [+ quantize(input)] then the dense/conv op;
+- quant params are initialized from the float weights *after* module
+  creation: q_m = max|W|, d = q_m / (2^(bits-1) - 1)
+  (quant_layers.py:413-440). Here that is :func:`init_quant_params_tree`,
+  a pure pytree->pytree function applied after ``model.init`` — the
+  functional JAX equivalent of ``model_to_quantize_model``
+  (quant_model.py:15-82).
+
+Instead of swapping module classes, quantization is a config: every model in
+``models/`` takes a :class:`QuantConfig`; ``quantize=False`` (default
+``QuantConfig.off()``) makes the layers exact ``nn.Dense``/``nn.Conv``
+equivalents (the FP32 baseline path, BASELINE.json config 3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..quant.lsfq import lsfq_linear, lsfq_nonlinear, dge
+
+QUANT_PARAM_NAMES = (
+    "d_quant_wt", "q_m_wt", "t_quant_wt",
+    "d_quant_act", "q_m_act", "t_quant_act",
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantConfig:
+    """Static quantization configuration for a model (hashable, jit-safe).
+
+    Mirrors the reference's QuantizationType/QuantizationMode enums
+    (quant_layers.py:20-29) plus the clip ranges (init_quantization defaults,
+    quant_layers.py:311-312).
+    """
+
+    enabled: bool = True
+    nonlinear: bool = True          # SYMMETRIC_NONLINEAR vs SYMMETRIC_LINEAR
+    use_dge: bool = False           # DGE quantizer (weights only)
+    quantize_acts: bool = True      # WEIGHT_AND_ACTIVATION vs WEIGHT_ONLY
+    weight_clip: Tuple[float, float] = (-2.0, 2.0)
+    act_clip: Tuple[float, float] = (-2.0, 2.0)
+    init_bits: float = 32.0         # bits at initialization (train.py:247 uses 32)
+    dge_bits: float = 4.0
+
+    @staticmethod
+    def off() -> "QuantConfig":
+        return QuantConfig(enabled=False)
+
+
+class _QuantParamsMixin:
+    """Shared quant-param declaration + quantize dispatch for Dense/Conv."""
+
+    def _declare_quant_params(self, suffix: str):
+        d = self.param(f"d_quant_{suffix}", nn.initializers.ones, (1,),
+                       jnp.float32)
+        q_m = self.param(f"q_m_{suffix}", nn.initializers.ones, (1,),
+                         jnp.float32)
+        t = (
+            self.param(f"t_quant_{suffix}", nn.initializers.ones, (1,),
+                       jnp.float32)
+            if self.config.nonlinear
+            else None
+        )
+        return d, q_m, t
+
+    def _quantize(self, x, d, q_m, t, clip):
+        clip_val = jnp.asarray(clip, x.dtype)
+        q_s = jnp.asarray(0.0, x.dtype)
+        if self.config.use_dge:
+            return dge(x, d, q_m, clip_val, q_s, jnp.asarray(self.config.dge_bits))
+        if self.config.nonlinear:
+            return lsfq_nonlinear(x, d, q_m, t, clip_val, q_s)
+        return lsfq_linear(x, d, q_m, clip_val, q_s)
+
+
+class QuantDense(nn.Module, _QuantParamsMixin):
+    """Dense layer with LSFQ weight (+activation) fake-quantization.
+
+    The training-time forward — real-INT serving goes through
+    ``artifact``/``serve`` which consume this layer's exported levels.
+    """
+
+    features: int
+    config: QuantConfig = QuantConfig.off()
+    use_bias: bool = True
+    kernel_init: Any = nn.initializers.truncated_normal(stddev=0.01)
+    bias_init: Any = nn.initializers.zeros
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", self.kernel_init, (x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        if self.config.enabled:
+            d_w, qm_w, t_w = self._declare_quant_params("wt")
+            kernel = self._quantize(kernel, d_w, qm_w, t_w, self.config.weight_clip)
+            if self.config.quantize_acts:
+                d_a, qm_a, t_a = self._declare_quant_params("act")
+                x = self._quantize(x, d_a, qm_a, t_a, self.config.act_clip)
+        y = jnp.dot(x, kernel)
+        if bias is not None:
+            y = y + bias
+        return y
+
+
+class QuantConv(nn.Module, _QuantParamsMixin):
+    """Conv with LSFQ weight (+activation) fake-quantization (NHWC, HWIO)."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = "SAME"
+    config: QuantConfig = QuantConfig.off()
+    use_bias: bool = True
+    kernel_init: Any = nn.initializers.kaiming_normal()
+    bias_init: Any = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            self.kernel_init,
+            (*self.kernel_size, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        if self.config.enabled:
+            d_w, qm_w, t_w = self._declare_quant_params("wt")
+            kernel = self._quantize(kernel, d_w, qm_w, t_w, self.config.weight_clip)
+            if self.config.quantize_acts:
+                d_a, qm_a, t_a = self._declare_quant_params("act")
+                x = self._quantize(x, d_a, qm_a, t_a, self.config.act_clip)
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=self.strides,
+            padding=self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if bias is not None:
+            y = y + bias
+        return y
+
+
+def init_quant_params_tree(params, init_bits: float = 32.0):
+    """Set each quantized layer's (d, q_m, t) from its float kernel.
+
+    Functional analogue of initialize_quant_layer (quant_layers.py:413-440)
+    applied across the whole params pytree: for every dict holding both a
+    ``kernel`` and quant params, set q_m_* = max|kernel|,
+    d_* = q_m / (2^(init_bits-1) - 1), t_* = 1. Weight and activation trios
+    get identical initial values, as the reference does.
+    """
+
+    def visit(node):
+        if not isinstance(node, dict):
+            return node
+        out = {k: visit(v) for k, v in node.items()}
+        if "kernel" in out and "d_quant_wt" in out:
+            k = out["kernel"]
+            q_m = jnp.max(jnp.abs(k)).reshape(1).astype(k.dtype)
+            d = (q_m / (2.0 ** (init_bits - 1.0) - 1.0)).astype(k.dtype)
+            for suffix in ("wt", "act"):
+                if f"d_quant_{suffix}" in out:
+                    out[f"d_quant_{suffix}"] = d
+                    out[f"q_m_{suffix}"] = q_m
+                if f"t_quant_{suffix}" in out:
+                    out[f"t_quant_{suffix}"] = jnp.ones((1,), k.dtype)
+        return out
+
+    import flax
+
+    plain = flax.core.unfreeze(params) if hasattr(params, "unfreeze") else params
+    return visit(plain)
+
+
+def collect_quant_params(params, prefix: str = ""):
+    """{layer_path: {name: value}} for all quant scalars — the analogue of
+    get_quant_param_dict (quant_model.py:85-101)."""
+    found = {}
+
+    def visit(node, path):
+        if not isinstance(node, dict):
+            return
+        qp = {k: v for k, v in node.items() if k in QUANT_PARAM_NAMES}
+        if qp:
+            found[path] = qp
+        for k, v in node.items():
+            visit(v, f"{path}/{k}" if path else k)
+
+    visit(params, prefix)
+    return found
+
+
+def bitwidth_dict(params):
+    """{layer_path: {'weight_bit': b, 'act_bit': b}} using
+    bits = log2(q_m^t/|d| + 1) + 1 — get_bitwidth_dict
+    (quant_model.py:104-136)."""
+    from ..quant.bitwidth import bit_width
+
+    out = {}
+    for path, qp in collect_quant_params(params).items():
+        entry = {}
+        t_w = qp.get("t_quant_wt")
+        entry["weight_bit"] = float(
+            bit_width(qp["d_quant_wt"], qp["q_m_wt"],
+                      t_w if t_w is not None else None)[0]
+        )
+        if "d_quant_act" in qp:
+            t_a = qp.get("t_quant_act")
+            entry["act_bit"] = float(
+                bit_width(qp["d_quant_act"], qp["q_m_act"],
+                          t_a if t_a is not None else None)[0]
+            )
+        else:
+            entry["act_bit"] = 32.0
+        out[path] = entry
+    return out
