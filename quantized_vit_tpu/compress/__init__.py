@@ -1,0 +1,14 @@
+"""Subnet materialization (SURVEY.md §7 item 6): slice group-sparse pytrees
+into dense compressed networks with new static shapes."""
+
+from .subnet import (
+    construct_subnet_ultranet,
+    construct_subnet_vit,
+    kept_groups,
+)
+
+__all__ = [
+    "construct_subnet_vit",
+    "construct_subnet_ultranet",
+    "kept_groups",
+]

@@ -1,0 +1,167 @@
+"""Subnet materialization: slice a group-sparse params pytree into a dense
+compressed network with new static shapes.
+
+Reference: only_train_once/subnet_construction/pruning_compression.py:4-391.
+The torch version mutates modules in place with index_select and needs the
+ViT special cases hard-coded (proj in-dim sync with pruned qkv heads :64-131,
+fc2<-fc1 hidden link :227-241, head-idx -> dim-idx expansion :296-316). Here
+the same links are declarative: each model's compressor knows its in-dim
+edges and emits (new config, new params) — no pickled-module export needed
+(predict.py:43); the sliced pytree + config is the artifact.
+
+Redundant groups are found by zero-row-norm scan in group space
+(graph.py:1272-1278 -> node_group.py:178-278), identical to the reference's
+`set_pruning_redundant_idxes`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.ultranet import ULTRANET_LAYERS
+from ..models.vit import ViTConfig
+from ..opt.groups import (
+    NodeGroup,
+    Transform,
+    get_path,
+    group_sq_norms,
+    has_path,
+    kept_indices_for_axis,
+    set_path,
+)
+
+
+def kept_groups(group: NodeGroup, params,
+                tol: float = 0.0) -> np.ndarray:
+    """Indices of non-zero (kept) groups by L2-norm scan
+    (node_group.py:178-278: zero norm => redundant)."""
+    norms = np.asarray(jnp.sqrt(group_sq_norms(group, params)))
+    return np.nonzero(norms > tol)[0]
+
+
+def _take(arr, idx: np.ndarray, axis: int):
+    return jnp.take(jnp.asarray(arr), jnp.asarray(idx), axis=axis)
+
+
+def _slice_layer_out(params, layer: str, idx: np.ndarray):
+    """Slice a Dense/Conv layer's out-dim (kernel last axis + bias)."""
+    params = set_path(params, f"{layer}/kernel",
+                      _take(get_path(params, f"{layer}/kernel"), idx, -1))
+    if has_path(params, f"{layer}/bias"):
+        params = set_path(params, f"{layer}/bias",
+                          _take(get_path(params, f"{layer}/bias"), idx, 0))
+    return params
+
+
+def _slice_layer_in(params, layer: str, idx: np.ndarray, axis: int = 0):
+    """Slice a layer's in-dim (kernel first axis for Dense, axis 2 for
+    conv HWIO)."""
+    k = get_path(params, f"{layer}/kernel")
+    ax = axis if k.ndim == 2 else 2
+    return set_path(params, f"{layer}/kernel", _take(k, idx, ax))
+
+
+# ---------------------------------------------------------------------------
+# ViT
+# ---------------------------------------------------------------------------
+
+
+def construct_subnet_vit(
+    cfg: ViTConfig,
+    params,
+    groups: Sequence[NodeGroup],
+) -> Tuple[ViTConfig, Any]:
+    """Physically slice a group-sparse ViT into a dense sub-network.
+
+    Per block: qkv out rows follow kept heads (QKV_HEADS expansion), proj
+    in-dim follows the same heads (the reference's V-slice link,
+    pruning_compression.py:243-291); fc1 out rows follow kept hidden units,
+    fc2 in-dim follows (fc2<-fc1 link, :227-241). The residual stream and
+    head are unprunable so their dims are untouched.
+    """
+    by_id = {g.id: g for g in groups}
+    heads_pb: List[int] = []
+    hidden_pb: List[int] = []
+
+    for i in range(cfg.depth):
+        attn_g = by_id.get(f"blocks_{i}/attn")
+        qkv = f"blocks_{i}/attn/qkv"
+        if attn_g is not None and attn_g.is_prunable:
+            kept_h = kept_groups(attn_g, params)
+        else:
+            kept_h = np.arange(cfg.num_heads)
+        heads_pb.append(len(kept_h))
+        out_dim = get_path(params, f"{qkv}/kernel").shape[-1]
+        out_idx = kept_indices_for_axis(kept_h, Transform.QKV_HEADS,
+                                        out_dim, cfg.num_heads)
+        params = _slice_layer_out(params, qkv, out_idx)
+        # proj in-dim <- kept heads (V component rows)
+        in_dim = get_path(params, f"blocks_{i}/attn/proj/kernel").shape[0]
+        in_idx = kept_indices_for_axis(kept_h, Transform.HEADS, in_dim,
+                                       cfg.num_heads)
+        params = _slice_layer_in(params, f"blocks_{i}/attn/proj", in_idx)
+
+        mlp_g = by_id.get(f"blocks_{i}/mlp")
+        if mlp_g is not None and mlp_g.is_prunable:
+            kept_m = kept_groups(mlp_g, params)
+        else:
+            kept_m = np.arange(int(cfg.embed_dim * cfg.mlp_ratio))
+        hidden_pb.append(len(kept_m))
+        params = _slice_layer_out(params, f"blocks_{i}/mlp/fc1", kept_m)
+        params = _slice_layer_in(params, f"blocks_{i}/mlp/fc2", kept_m)
+
+    new_cfg = dataclasses.replace(
+        cfg,
+        heads_per_block=tuple(heads_pb),
+        hidden_per_block=tuple(hidden_pb),
+    )
+    return new_cfg, params
+
+
+# ---------------------------------------------------------------------------
+# UltraNet
+# ---------------------------------------------------------------------------
+
+
+def construct_subnet_ultranet(
+    params,
+    groups: Sequence[NodeGroup],
+    batch_stats: Optional[Any] = None,
+) -> Tuple[Tuple[int, ...], Any, Optional[Any]]:
+    """Slice UltraNet conv channels: conv_i out + bn_i (scale/bias + running
+    stats) + conv_{i+1} in-dim. Returns (channels tuple, params,
+    batch_stats)."""
+    by_id = {g.id: g for g in groups}
+    n = len(ULTRANET_LAYERS)
+    channels: List[int] = []
+    prev_idx: Optional[np.ndarray] = None
+    for i in range(n + 1):
+        if prev_idx is not None:
+            params = _slice_layer_in(params, f"conv_{i}", prev_idx)
+        if i == n:
+            break
+        g = by_id.get(f"conv_{i}")
+        feat = get_path(params, f"conv_{i}/kernel").shape[-1]
+        if g is not None and g.is_prunable:
+            idx = kept_groups(g, params)
+        else:
+            idx = np.arange(feat)
+        channels.append(len(idx))
+        params = _slice_layer_out(params, f"conv_{i}", idx)
+        for nm in ("scale", "bias"):
+            if has_path(params, f"bn_{i}/{nm}"):
+                params = set_path(params, f"bn_{i}/{nm}",
+                                  _take(get_path(params, f"bn_{i}/{nm}"),
+                                        idx, 0))
+        if batch_stats is not None:
+            for nm in ("mean", "var"):
+                if has_path(batch_stats, f"bn_{i}/{nm}"):
+                    batch_stats = set_path(
+                        batch_stats, f"bn_{i}/{nm}",
+                        _take(get_path(batch_stats, f"bn_{i}/{nm}"), idx, 0))
+        prev_idx = idx
+    return tuple(channels), params, batch_stats

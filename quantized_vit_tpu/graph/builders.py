@@ -1,0 +1,167 @@
+"""Pruning-dependency node groups for the model zoo.
+
+The reference discovers these by tracing torch.jit -> ONNX and running the
+"pzig" partition algorithm (dependency_graph/pruning_dependency.py:347-538,
+graph/graph.py:107-267). A jaxpr carries no module identity, so the
+TPU-native design goes the way SURVEY.md §7 recommends: each model family
+declares its dependency structure from its config — which is exactly the
+fixed point the reference's tracer computes for these architectures:
+
+ViT (vit_model.py:211-328 topology):
+- one *residual-stream* group containing every tensor whose out-dim is the
+  embedding dim (patch_embed.proj, cls_token, pos_embed, all LayerNorms,
+  attn.proj out, mlp.fc2 out, final norm). The reference marks
+  patch_embed/pos_embed/head unprunable (train.py:337-341) and the
+  connected-component growth then makes the entire stream one unprunable
+  group — reproduced here directly with ``is_prunable=False``.
+- per block: an attention group over the fused qkv with HEAD granularity
+  (QKVMultiHeadAttentionOTO, operator.py:1132-1251: chained
+  MULTIHEAD_HEADDIM/NUMHEAD transform = our Transform.QKV_HEADS), and an MLP
+  hidden group over fc1 rows (fc2's in-dim follows at compression time —
+  pruning_compression.py:227-241).
+- head / pre_logits: adjacent to model output -> unprunable
+  (pruning_dependency.py:395-400).
+- each quantized layer's d/q_m/t scalars ride along as NO_PRUNE entries
+  (operator.py:1169-1186).
+
+UltraNet (mymodel.py:62-143 topology): per conv block a channel group
+(conv kernel out-dim + BN scale/bias as ACCESSORY — BatchNormOTO,
+operator.py:352-384); the next conv's in-dim follows at compression. The
+final 1x1 conv feeds the YOLO head -> unprunable.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+from ..models.ultranet import ULTRANET_LAYERS
+from ..models.vit import ViTConfig
+from ..opt.groups import NodeGroup, ParamEntry, Transform, has_path
+
+_QUANT_NAMES = ("d_quant_wt", "q_m_wt", "t_quant_wt",
+                "d_quant_act", "q_m_act", "t_quant_act")
+
+
+def _layer_entries(params, layer: str, kernel_tf: Transform,
+                   bias_tf: Transform = Transform.ACCESSORY,
+                   with_quant: bool = True) -> List[ParamEntry]:
+    out = [ParamEntry(f"{layer}/kernel", kernel_tf)]
+    if has_path(params, f"{layer}/bias"):
+        out.append(ParamEntry(f"{layer}/bias", bias_tf))
+    if with_quant:
+        for q in _QUANT_NAMES:
+            if has_path(params, f"{layer}/{q}"):
+                out.append(ParamEntry(f"{layer}/{q}", Transform.NO_PRUNE))
+    return out
+
+
+def _ln_entries(params, path: str) -> List[ParamEntry]:
+    out = []
+    for nm in ("scale", "bias"):
+        if has_path(params, f"{path}/{nm}"):
+            out.append(ParamEntry(f"{path}/{nm}", Transform.ACCESSORY))
+    return out
+
+
+def vit_node_groups(cfg: ViTConfig, params,
+                    unprunable_extra: Optional[List[str]] = None
+                    ) -> List[NodeGroup]:
+    """Node groups for the VisionTransformer family."""
+    unprunable_extra = set(unprunable_extra or [])
+    groups: List[NodeGroup] = []
+
+    # Residual stream (unprunable)
+    stream: List[ParamEntry] = []
+    stream += _layer_entries(params, "patch_embed/proj", Transform.OUT)
+    stream.append(ParamEntry("cls_token", Transform.OUT))
+    stream.append(ParamEntry("pos_embed", Transform.OUT))
+    for i in range(cfg.depth):
+        stream += _ln_entries(params, f"blocks_{i}/norm1")
+        stream += _ln_entries(params, f"blocks_{i}/norm2")
+        stream += _layer_entries(params, f"blocks_{i}/attn/proj", Transform.OUT)
+        stream += _layer_entries(params, f"blocks_{i}/mlp/fc2", Transform.OUT)
+    stream += _ln_entries(params, "norm")
+    groups.append(NodeGroup(
+        id="residual_stream", entries=stream,
+        num_groups=cfg.embed_dim, is_prunable=False,
+    ))
+
+    for i in range(cfg.depth):
+        qkv = f"blocks_{i}/attn/qkv"
+        groups.append(NodeGroup(
+            id=f"blocks_{i}/attn",
+            entries=[
+                ParamEntry(f"{qkv}/kernel", Transform.QKV_HEADS),
+                *([ParamEntry(f"{qkv}/bias", Transform.QKV_HEADS)]
+                  if has_path(params, f"{qkv}/bias") else []),
+                *[ParamEntry(f"{qkv}/{q}", Transform.NO_PRUNE)
+                  for q in _QUANT_NAMES if has_path(params, f"{qkv}/{q}")],
+            ],
+            num_groups=cfg.num_heads,
+            num_heads=cfg.num_heads,
+            is_prunable=f"blocks_{i}/attn" not in unprunable_extra,
+        ))
+        groups.append(NodeGroup(
+            id=f"blocks_{i}/mlp",
+            entries=_layer_entries(params, f"blocks_{i}/mlp/fc1",
+                                   Transform.OUT),
+            num_groups=int(cfg.embed_dim * cfg.mlp_ratio),
+            is_prunable=f"blocks_{i}/mlp" not in unprunable_extra,
+        ))
+
+    if has_path(params, "pre_logits"):
+        groups.append(NodeGroup(
+            id="pre_logits",
+            entries=_layer_entries(params, "pre_logits", Transform.OUT),
+            num_groups=cfg.representation_size or cfg.embed_dim,
+            is_prunable=False,  # feeds head (adjacent to output)
+        ))
+    if has_path(params, "head"):
+        groups.append(NodeGroup(
+            id="head",
+            entries=_layer_entries(params, "head", Transform.OUT),
+            num_groups=cfg.num_classes,
+            is_prunable=False,  # adjacent to model output
+        ))
+    return groups
+
+
+def ultranet_node_groups(params, batch_stats=None) -> List[NodeGroup]:
+    """Channel groups for UltraNet: conv_i out-channels + bn_i scale/bias.
+
+    BN running stats live in flax's ``batch_stats`` collection, not in
+    params; compression slices them via the same kept-index maps
+    (compress/).
+    """
+    groups: List[NodeGroup] = []
+    n = len(ULTRANET_LAYERS)
+    for i, (feat, _, _) in enumerate(ULTRANET_LAYERS):
+        entries = [ParamEntry(f"conv_{i}/kernel", Transform.OUT)]
+        for nm in ("scale", "bias"):
+            if has_path(params, f"bn_{i}/{nm}"):
+                entries.append(ParamEntry(f"bn_{i}/{nm}", Transform.ACCESSORY))
+        groups.append(NodeGroup(
+            id=f"conv_{i}", entries=entries, num_groups=feat,
+            is_prunable=True,
+        ))
+    # Final conv: YOLO head output — unprunable (adjacent to output)
+    entries = [ParamEntry(f"conv_{n}/kernel", Transform.OUT)]
+    if has_path(params, f"conv_{n}/bias"):
+        entries.append(ParamEntry(f"conv_{n}/bias", Transform.ACCESSORY))
+    groups.append(NodeGroup(
+        id=f"conv_{n}", entries=entries,
+        num_groups=36, is_prunable=False,
+    ))
+    return groups
+
+
+def mark_unprunable(groups: List[NodeGroup], param_names: List[str]
+                    ) -> List[NodeGroup]:
+    """Disable pruning for any group containing one of the given param paths
+    (OTO.mark_unprunable_by_param_names, __init__.py:403-413)."""
+    for g in groups:
+        for e in g.entries:
+            if any(nm in e.path for nm in param_names):
+                g.is_prunable = False
+                break
+    return groups

@@ -115,11 +115,15 @@ class UltraNet(nn.Module):
 
     w_bit: int = W_BIT
     a_bit: int = A_BIT
+    # Per-layer channel override for compressed subnets (compress/)
+    channels: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         img_size = x.shape[1:3]
         for i, (feat, ks, pool) in enumerate(ULTRANET_LAYERS):
+            if self.channels is not None:
+                feat = self.channels[i]
             x = DoReFaConv(feat, ks, self.w_bit, name=f"conv_{i}")(x)
             x = nn.BatchNorm(
                 use_running_average=not train,

@@ -50,6 +50,19 @@ class ViTConfig:
     attn_drop_ratio: float = 0.0
     drop_path_ratio: float = 0.0
     quant: QuantConfig = QuantConfig.off()
+    # Per-block overrides for compressed subnets (compress/): after head /
+    # hidden pruning blocks have non-uniform widths (pruning_compression.py
+    # slices the torch modules in place; here the slim config is explicit).
+    heads_per_block: Optional[Tuple[int, ...]] = None
+    hidden_per_block: Optional[Tuple[int, ...]] = None
+
+    def block_heads(self, i: int) -> int:
+        return (self.heads_per_block[i] if self.heads_per_block is not None
+                else self.num_heads)
+
+    def block_hidden(self, i: int) -> int:
+        return (self.hidden_per_block[i] if self.hidden_per_block is not None
+                else int(self.embed_dim * self.mlp_ratio))
 
     @property
     def num_patches(self) -> int:
@@ -97,18 +110,23 @@ class PatchEmbed(nn.Module):
 
 class ViTAttention(nn.Module):
     cfg: ViTConfig
+    num_heads: Optional[int] = None  # per-block override (compressed subnets)
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
         c = self.cfg
         b, n, dim = x.shape
-        head_dim = dim // c.num_heads
+        heads = self.num_heads if self.num_heads is not None else c.num_heads
+        # head_dim is set by the ORIGINAL head count — head pruning removes
+        # whole heads but keeps head_dim (pruning_compression.py:296-316)
+        head_dim = c.embed_dim // c.num_heads
         scale = c.qk_scale if c.qk_scale is not None else head_dim**-0.5
 
         qkv = QuantDense(
-            features=dim * 3, config=c.quant, use_bias=c.qkv_bias, name="qkv"
+            features=heads * head_dim * 3, config=c.quant,
+            use_bias=c.qkv_bias, name="qkv",
         )(x)
-        qkv = qkv.reshape(b, n, 3, c.num_heads, head_dim)
+        qkv = qkv.reshape(b, n, 3, heads, head_dim)
         qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # [3, B, H, N, hd]
         q, k, v = qkv[0], qkv[1], qkv[2]
 
@@ -117,7 +135,7 @@ class ViTAttention(nn.Module):
         attn = nn.Dropout(rate=c.attn_drop_ratio)(attn, deterministic=deterministic)
 
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
-        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, dim)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, heads * head_dim)
         out = QuantDense(features=dim, config=c.quant, name="proj")(out)
         out = nn.Dropout(rate=c.drop_ratio)(out, deterministic=deterministic)
         return out
@@ -125,11 +143,13 @@ class ViTAttention(nn.Module):
 
 class Mlp(nn.Module):
     cfg: ViTConfig
+    hidden: Optional[int] = None  # per-block override (compressed subnets)
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
         c = self.cfg
-        hidden = int(c.embed_dim * c.mlp_ratio)
+        hidden = (self.hidden if self.hidden is not None
+                  else int(c.embed_dim * c.mlp_ratio))
         x = QuantDense(features=hidden, config=c.quant, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(rate=c.drop_ratio)(x, deterministic=deterministic)
@@ -141,14 +161,17 @@ class Mlp(nn.Module):
 class Block(nn.Module):
     cfg: ViTConfig
     drop_path_rate: float
+    index: int = 0
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
+        c = self.cfg
         h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
-        h = ViTAttention(self.cfg, name="attn")(h, deterministic)
+        h = ViTAttention(c, num_heads=c.block_heads(self.index),
+                         name="attn")(h, deterministic)
         x = x + DropPath(self.drop_path_rate, name="drop_path1")(h, deterministic)
         h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
-        h = Mlp(self.cfg, name="mlp")(h, deterministic)
+        h = Mlp(c, hidden=c.block_hidden(self.index), name="mlp")(h, deterministic)
         x = x + DropPath(self.drop_path_rate, name="drop_path2")(h, deterministic)
         return x
 
@@ -180,7 +203,7 @@ class VisionTransformer(nn.Module):
         # stay static under tracing
         dpr = [float(r) for r in _np.linspace(0.0, c.drop_path_ratio, c.depth)]
         for i in range(c.depth):
-            x = Block(c, dpr[i], name=f"blocks_{i}")(x, deterministic)
+            x = Block(c, dpr[i], index=i, name=f"blocks_{i}")(x, deterministic)
 
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
         x = x[:, 0]  # cls token

@@ -5,11 +5,13 @@ from .int4_matmul import (
     int8_matmul,
     int4_matmul_xla,
     int8_matmul_xla,
+    quant_matmul_fa,
 )
 from .reference import int4_matmul_ref, int8_matmul_ref, quant_linear_ref
 
 __all__ = [
     "int4_matmul",
+    "quant_matmul_fa",
     "int8_matmul",
     "int4_matmul_xla",
     "int8_matmul_xla",

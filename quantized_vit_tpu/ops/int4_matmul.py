@@ -47,7 +47,7 @@ def _round_up(a: int, b: int) -> int:
 
 
 def _auto_blocks(mp: int, kp: int, np_: int, out_bytes: int,
-                 budget: int = 8 * 2**20) -> tuple[int, int]:
+                 x_bytes: int = 1, budget: int = 8 * 2**20) -> tuple[int, int]:
     """Pick (block_m, block_n) maximizing tile size within a VMEM budget.
 
     Empirically on v5e the fastest configuration is the largest tile that
@@ -57,7 +57,7 @@ def _auto_blocks(mp: int, kp: int, np_: int, out_bytes: int,
     (bm*bn*out_bytes), times 2 for double buffering of the streamed inputs.
     """
     def fits(bm, bn):
-        x_b = bm * kp
+        x_b = bm * kp * x_bytes
         w_b = kp // 2 * bn + kp * bn
         o_b = bm * bn * out_bytes
         return 2 * (x_b + o_b) + w_b <= budget
@@ -95,7 +95,7 @@ def _int4_kernel(x_ref, w_ref, scale_ref, bias_ref, o_ref, w_lo_ref, w_hi_ref,
     )
     out = acc.astype(jnp.float32) * scale_ref[:] + bias_ref[:]
     if requant_top is None:
-        o_ref[:] = out
+        o_ref[:] = out.astype(o_ref.dtype)
     else:
         # Fused requantization: emit the next layer's int8 levels directly,
         # saving an HBM round-trip of the f32 activations.
@@ -110,7 +110,8 @@ def _int8_kernel(x_ref, w_ref, scale_ref, bias_ref, o_ref):
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    o_ref[:] = acc.astype(jnp.float32) * scale_ref[:] + bias_ref[:]
+    o_ref[:] = (acc.astype(jnp.float32) * scale_ref[:]
+                + bias_ref[:]).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -188,7 +189,7 @@ def int4_matmul(
     # Grid (n, m): M innermost so the weight stripe (and its unpacked scratch)
     # is reused across M tiles; N outermost walks weight stripes once.
     grid = (np_ // block_n, mp // block_m)
-    out_eltype = jnp.float32 if requant_top is None else jnp.int8
+    out_eltype = out_dtype if requant_top is None else jnp.int8
     out = pl.pallas_call(
         functools.partial(_int4_kernel, k_half=kp // 2,
                           requant_top=requant_top),
@@ -220,8 +221,7 @@ def int4_matmul(
         ),
         interpret=interpret,
     )(x_levels, w_packed, scale[None, :], bias[None, :])
-    out = out[:m, :n]
-    return out if requant_top is not None else out.astype(out_dtype)
+    return out[:m, :n]
 
 
 @functools.partial(
@@ -316,3 +316,183 @@ def int8_matmul_xla(x_levels, w_levels, scale, bias=None, out_dtype=jnp.float32)
     if bias is not None:
         out = out + jnp.asarray(bias, jnp.float32)
     return out.astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fused activation-quantization variant: float x in, levels computed in VMEM
+# ---------------------------------------------------------------------------
+
+
+def _fa_quant(x, d_ref, t_ref, top_ref, act_pow: bool):
+    """In-kernel LSFQ activation quantization (f32 math, int8 out).
+
+    x: float tile. d/t scalars in SMEM; top = clamp level (also the >= q_m
+    clamp: round(pow/d) > top only when |x| > q_m up to rounding, so a single
+    min() reproduces the lsfq_levels masks for q_s = 0).
+    """
+    x = x.astype(jnp.float32)
+    d = d_ref[0]
+    top = top_ref[0].astype(jnp.float32)
+    x_abs = jnp.abs(x)
+    if act_pow:
+        t = t_ref[0]
+        p = jnp.exp(t * jnp.log(jnp.maximum(x_abs, 1e-30)))
+    else:
+        p = x_abs
+    lv = jnp.minimum(jnp.round(p / d), top)
+    return (jnp.sign(x) * lv).astype(jnp.int8)
+
+
+def _int4_fa_kernel(x_ref, w_ref, scale_ref, bias_ref, d_ref, t_ref, top_ref,
+                    o_ref, w_lo_ref, w_hi_ref, *, k_half: int, act_pow: bool):
+    @pl.when(pl.program_id(1) == 0)
+    def _unpack():
+        p = w_ref[:].astype(jnp.int32)
+        w_lo_ref[:] = ((p << 28) >> 28).astype(jnp.int8)
+        w_hi_ref[:] = (p >> 4).astype(jnp.int8)
+
+    lv = _fa_quant(x_ref[:], d_ref, t_ref, top_ref, act_pow)
+    acc = jax.lax.dot_general(
+        lv[:, :k_half], w_lo_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    acc += jax.lax.dot_general(
+        lv[:, k_half:], w_hi_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    o_ref[:] = (acc.astype(jnp.float32) * scale_ref[:]
+                + bias_ref[:]).astype(o_ref.dtype)
+
+
+def _int8_fa_kernel(x_ref, w_ref, scale_ref, bias_ref, d_ref, t_ref, top_ref,
+                    o_ref, *, act_pow: bool):
+    lv = _fa_quant(x_ref[:], d_ref, t_ref, top_ref, act_pow)
+    acc = jax.lax.dot_general(
+        lv, w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    o_ref[:] = (acc.astype(jnp.float32) * scale_ref[:]
+                + bias_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fmt", "act_pow", "block_m", "block_n", "out_dtype",
+                     "interpret"),
+)
+def quant_matmul_fa(
+    x: jax.Array,
+    w: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array | None,
+    act_d: jax.Array,
+    act_t: jax.Array,
+    act_top: jax.Array,
+    *,
+    fmt: str = "int4",
+    act_pow: bool = True,
+    block_m: int | None = None,
+    block_n: int | None = None,
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jax.Array:
+    """Quantized matmul with FUSED activation quantization.
+
+    x: [M, K] float (f32/bf16) — quantized to int8 LSFQ levels inside the
+    kernel (one HBM read of x instead of quantize-pass + int8 rematerialize).
+    w: packed int4 [K/2, N] (fmt='int4') or int8 [K, N] (fmt='int8').
+    act_d/act_t/act_top: scalar activation quantizer constants.
+    ``act_pow=False`` skips the x^t power map when the layer's t == 1
+    (saves an exp+log per element; export sets this statically).
+    """
+    m, k = x.shape
+    if fmt == "int4":
+        k_w, n = w.shape[0] * 2, w.shape[1]
+    else:
+        k_w, n = w.shape
+    if k != k_w:
+        raise ValueError(f"K mismatch: x {k} vs w {k_w}")
+
+    scale = jnp.broadcast_to(jnp.asarray(scale, jnp.float32), (n,))
+    bias = (
+        jnp.zeros((n,), jnp.float32) if bias is None
+        else jnp.asarray(bias, jnp.float32)
+    )
+
+    kp = _round_up(k, 256 if fmt == "int4" else 128)
+    x_bytes = x.dtype.itemsize
+    out_bytes = jnp.dtype(out_dtype).itemsize
+    auto_m, auto_n = _auto_blocks(_round_up(m, 32), kp,
+                                  _round_up(n, 128), out_bytes,
+                                  x_bytes=x_bytes)
+    block_m = auto_m if block_m is None else min(block_m, _round_up(m, 32))
+    block_n = auto_n if block_n is None else min(block_n, _round_up(n, 128))
+    mp = _round_up(m, block_m)
+    np_ = _round_up(n, block_n)
+    if (mp, kp) != (m, k):
+        x = jnp.pad(x, ((0, mp - m), (0, kp - k)))
+    if fmt == "int4" and (kp // 2, np_) != (w.shape[0], n):
+        from ..quant.packing import unpack_int4, pack_int4
+
+        w_full = unpack_int4(w, axis=0)
+        w_full = jnp.pad(w_full, ((0, kp - k), (0, np_ - n)))
+        w = pack_int4(w_full, axis=0)
+    elif fmt == "int8" and (kp, np_) != (k, n):
+        w = jnp.pad(w, ((0, kp - k), (0, np_ - n)))
+    if np_ != n:
+        scale = jnp.pad(scale, (0, np_ - n))
+        bias = jnp.pad(bias, (0, np_ - n))
+
+    grid = (np_ // block_n, mp // block_m)
+    scalars = [
+        jnp.asarray(act_d, jnp.float32).reshape(1),
+        jnp.asarray(act_t, jnp.float32).reshape(1),
+        jnp.asarray(act_top, jnp.int32).reshape(1),
+    ]
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    common_specs = [
+        pl.BlockSpec((block_m, kp), lambda j, i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(((kp // 2) if fmt == "int4" else kp, block_n),
+                     lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_n), lambda j, i: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_n), lambda j, i: (0, j),
+                     memory_space=pltpu.VMEM),
+        smem(), smem(), smem(),
+    ]
+    if fmt == "int4":
+        kernel = functools.partial(_int4_fa_kernel, k_half=kp // 2,
+                                   act_pow=act_pow)
+        scratch = [
+            pltpu.VMEM((kp // 2, block_n), jnp.int8),
+            pltpu.VMEM((kp // 2, block_n), jnp.int8),
+        ]
+        w_bytes = kp * np_ // 2
+    else:
+        kernel = functools.partial(_int8_fa_kernel, act_pow=act_pow)
+        scratch = []
+        w_bytes = kp * np_
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=common_specs,
+        out_specs=pl.BlockSpec((block_m, block_n), lambda j, i: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp * x_bytes + w_bytes + mp * np_ * out_bytes,
+            transcendentals=mp * kp * (2 if act_pow else 0),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, w, scale[None, :], bias[None, :], *scalars)
+    return out[:m, :n]

@@ -1,0 +1,275 @@
+"""ViT W4A4 serving path: exported integer artifacts + Pallas INT kernels.
+
+This is the BASELINE.json north star — replacing the reference's float
+fake-quant inference (quant_layers.py:575-587 forward) with real packed-INT4
+MXU matmuls:
+
+- :func:`export_vit_int4` converts a trained fake-quant params pytree into a
+  serving artifact: per quantized layer, weight integer levels packed int4
+  (or int8 when the trained bit width exceeds 4 — GETA produces mixed
+  precision), the fused dequant scale ``d_w * d_a``, the float bias, and the
+  activation quantizer constants (d_a, q_m_a, t_a, top level).
+- :func:`vit_int4_forward` runs the ViT with every Dense/Conv as an
+  ``ops.int4_matmul``/``int8_matmul`` call. The patch-embed 16x16/s16 conv is
+  exactly a [B*196, p*p*3] x [p*p*3, D] gemm (vit_model.py:78,100), so it
+  uses the same kernel. LayerNorm/softmax/GELU/residuals stay float (bf16),
+  matching the reference's quantization surface (SURVEY.md §3.4).
+
+Numerics: identical to the fake-quant forward because LSFQ quantized values
+are integer multiples of d — sum((d_w i_w)(d_a i_a)) = d_w d_a sum(i_w i_a)
+exactly (see quant/lsfq.py). Tests assert parity against the float model.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("w", "scale", "bias", "act"),
+    meta_fields=("fmt", "act_pow"),
+)
+@dataclasses.dataclass
+class QLayerArtifact:
+    """One quantized layer's serving artifact. ``fmt`` ('int4'/'int8') and
+    ``act_pow`` (whether the layer's activation t != 1, i.e. the power map
+    must run) are pytree metadata so they stay static under jit."""
+
+    w: jax.Array          # packed int4 [K/2, N] or int8 [K, N]
+    scale: jax.Array      # d_w * d_a
+    bias: Any             # [N] f32 or None
+    act: Dict[str, jax.Array]  # activation quantizer constants
+    fmt: str
+    act_pow: bool = True
+
+from ..models.vit import ViTConfig
+from ..ops import (int4_matmul, int8_matmul, int4_matmul_xla,
+                   int8_matmul_xla, quant_matmul_fa)
+from ..quant.lsfq import lsfq_levels, lsfq_top_level, _safe_pow, _EPS
+from ..quant.packing import pack_int4
+
+
+def _act_levels(x, aq):
+    """Runtime activation quantization to int8 levels (lsfq_levels inlined
+    with precomputed constants; VPU elementwise, fuses with the preceding
+    LN/GELU under jit). Level math in f32 regardless of the glue dtype so
+    bf16 serving doesn't flip levels."""
+    d, q_m, t, top = aq["d"], aq["q_m"], aq["t"], aq["top"]
+    x = x.astype(jnp.float32)
+    x_abs = jnp.abs(x)
+    input_pow = _safe_pow(x_abs, t)
+    lv = jnp.round(input_pow / d)
+    lv = jnp.where(x_abs <= 0.0, 0.0, lv)
+    lv = jnp.where(x_abs >= q_m, top.astype(lv.dtype), lv)
+    lv = jnp.minimum(lv, top.astype(lv.dtype))
+    return (jnp.sign(x) * lv).astype(jnp.int8)
+
+
+def _export_layer(layer_params: Dict[str, Any], transposed: bool = False):
+    """One QuantDense/QuantConv -> serving artifact entry."""
+    kernel = layer_params["kernel"]
+    if kernel.ndim == 4:  # conv HWIO -> [H*W*I, O] gemm form
+        h, w, i, o = kernel.shape
+        kernel = kernel.reshape(h * w * i, o)
+    d_w = layer_params["d_quant_wt"]
+    qm_w = layer_params["q_m_wt"]
+    t_w = layer_params.get("t_quant_wt", jnp.ones_like(d_w))
+
+    w_lv = lsfq_levels(kernel, d_w, qm_w, t_w)
+    top_w = int(lsfq_top_level(d_w, qm_w, t_w)[0])
+
+    d_a = layer_params["d_quant_act"]
+    qm_a = layer_params["q_m_act"]
+    t_a = layer_params.get("t_quant_act", jnp.ones_like(d_a))
+    top_a = lsfq_top_level(d_a, qm_a, t_a)[0]
+
+    act = {"d": d_a[0], "q_m": qm_a[0], "t": t_a[0],
+           "top": jnp.minimum(top_a, 127)}
+    act_pow = bool(abs(float(t_a[0]) - 1.0) > 1e-6)
+    k = w_lv.shape[0]
+    if top_w <= 7 and k % 2 == 0:
+        return QLayerArtifact(
+            w=pack_int4(jnp.clip(w_lv, -8, 7).astype(jnp.int8), axis=0),
+            scale=(d_w * d_a)[0], bias=layer_params.get("bias"),
+            act=act, fmt="int4", act_pow=act_pow,
+        )
+    return QLayerArtifact(
+        w=jnp.clip(w_lv, -127, 127).astype(jnp.int8),
+        scale=(d_w * d_a)[0], bias=layer_params.get("bias"),
+        act=act, fmt="int8", act_pow=act_pow,
+    )
+
+
+def export_vit_int4(cfg: ViTConfig, params: Dict[str, Any]) -> Dict[str, Any]:
+    """Trained fake-quant ViT params -> integer serving artifact pytree.
+
+    ``fmt`` per layer is a static string ('int4'/'int8'); everything else is
+    arrays, so the artifact passes straight through jit as a pytree.
+    """
+    art: Dict[str, Any] = {"cfg": None}
+    art["patch_embed"] = _export_layer(params["patch_embed"]["proj"])
+    art["cls_token"] = params["cls_token"]
+    art["pos_embed"] = params["pos_embed"]
+    art["blocks"] = []
+    for i in range(cfg.depth):
+        b = params[f"blocks_{i}"]
+        art["blocks"].append({
+            "norm1": b["norm1"],
+            "qkv": _export_layer(b["attn"]["qkv"]),
+            "proj": _export_layer(b["attn"]["proj"]),
+            "norm2": b["norm2"],
+            "fc1": _export_layer(b["mlp"]["fc1"]),
+            "fc2": _export_layer(b["mlp"]["fc2"]),
+        })
+    art["norm"] = params["norm"]
+    if cfg.representation_size is not None:
+        art["pre_logits"] = {k: v for k, v in params["pre_logits"].items()}
+    if cfg.num_classes > 0:
+        art["head"] = _export_layer(params["head"])
+    return art
+
+
+def _qmatmul(x2d, entry: QLayerArtifact, use_pallas: bool,
+             float_dtype=jnp.float32):
+    if use_pallas:
+        # Fully fused path: activation quantization runs in the kernel
+        # prologue, bias + dtype cast in the epilogue — one read of x, one
+        # store of the output, nothing else touches HBM.
+        return quant_matmul_fa(
+            x2d, entry.w, entry.scale, entry.bias,
+            entry.act["d"], entry.act["t"], entry.act["top"],
+            fmt=entry.fmt, act_pow=entry.act_pow, out_dtype=float_dtype,
+        )
+    lv = _act_levels(x2d, entry.act)
+    f4 = int4_matmul if use_pallas else int4_matmul_xla
+    f8 = int8_matmul if use_pallas else int8_matmul_xla
+    op = f4 if entry.fmt == "int4" else f8
+    out = op(lv, entry.w, entry.scale)
+    if entry.bias is not None:
+        out = out + entry.bias
+    return out.astype(float_dtype)
+
+
+def _layernorm(x, p, eps=1e-6):
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    return ((x32 - mu) * jax.lax.rsqrt(var + eps) * p["scale"]
+            + p["bias"]).astype(dt)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "use_pallas", "float_dtype")
+)
+def vit_int4_forward(art, images, cfg: ViTConfig, use_pallas: bool = True,
+                     float_dtype=jnp.float32):
+    """Quantized ViT forward on integer weights. images: [B, H, W, 3] f32.
+
+    ``float_dtype`` sets the dtype of the float glue (LN, attention, GELU,
+    residuals). bf16 is the serving configuration (halves inter-kernel HBM
+    traffic and doubles attention-einsum rate); f32 is the strict-parity
+    configuration the tests compare against the fake-quant model. Activation
+    level computation always runs in f32 so levels never flip.
+    """
+    b = images.shape[0]
+    p = cfg.patch_size
+    g = cfg.img_size // p
+
+    # patch embed as gemm: [B, g, p, g, p, C] -> [B*g*g, p*p*C]
+    x = images.reshape(b, g, p, g, p, cfg.in_channels)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b * g * g, p * p * cfg.in_channels)
+    x = _qmatmul(x, art["patch_embed"], use_pallas, float_dtype)
+    x = x.reshape(b, g * g, cfg.embed_dim)
+
+    cls = jnp.broadcast_to(art["cls_token"], (b, 1, cfg.embed_dim)).astype(float_dtype)
+    x = jnp.concatenate([cls, x], axis=1) + art["pos_embed"].astype(float_dtype)
+
+    n = x.shape[1]
+    heads = cfg.num_heads
+    hd = cfg.embed_dim // heads
+    scale = cfg.qk_scale if cfg.qk_scale is not None else hd**-0.5
+
+    for blk in art["blocks"]:
+        h = _layernorm(x, blk["norm1"])
+        qkv = _qmatmul(h.reshape(b * n, -1), blk["qkv"], use_pallas, float_dtype)
+        qkv = qkv.reshape(b, n, 3, heads, hd)
+        qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                          preferred_element_type=jnp.float32) * scale
+        attn = jax.nn.softmax(attn, axis=-1).astype(float_dtype)
+        o = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                       preferred_element_type=jnp.float32).astype(float_dtype)
+        o = jnp.transpose(o, (0, 2, 1, 3)).reshape(b * n, cfg.embed_dim)
+        o = _qmatmul(o, blk["proj"], use_pallas, float_dtype)
+        x = x + o.reshape(b, n, cfg.embed_dim)
+
+        h = _layernorm(x, blk["norm2"])
+        h = _qmatmul(h.reshape(b * n, -1), blk["fc1"], use_pallas, float_dtype)
+        h = jax.nn.gelu(h, approximate=False)
+        h = _qmatmul(h, blk["fc2"], use_pallas, float_dtype)
+        x = x + h.reshape(b, n, cfg.embed_dim)
+
+    x = _layernorm(x, art["norm"])
+    x = x[:, 0].astype(jnp.float32)
+    if "pre_logits" in art:
+        x = jnp.tanh(x @ art["pre_logits"]["kernel"] + art["pre_logits"]["bias"])
+    if "head" in art:
+        x = _qmatmul(x, art["head"], use_pallas, jnp.float32)
+    return x
+
+
+def random_vit_int4_artifact(cfg: ViTConfig, seed: int = 0):
+    """Random serving artifact with realistic scales (bench/compile-check
+    helper — avoids the slow on-device flax init of an 86M-param model)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    d = cfg.embed_dim
+    hidden = int(d * cfg.mlp_ratio)
+
+    def qlayer(k, n, with_bias=True):
+        w = rng.integers(-7, 8, (k, n)).astype(np.int8)
+        return QLayerArtifact(
+            w=pack_int4(jnp.array(w), axis=0),
+            scale=jnp.float32(1e-3),
+            bias=jnp.array(rng.standard_normal(n).astype(np.float32) * 1e-2)
+            if with_bias else None,
+            act={"d": jnp.float32(0.05), "q_m": jnp.float32(0.35),
+                 "t": jnp.float32(1.0), "top": jnp.int32(7)},
+            fmt="int4", act_pow=False,
+        )
+
+    def ln(n):
+        return {"scale": jnp.ones((n,), jnp.float32),
+                "bias": jnp.zeros((n,), jnp.float32)}
+
+    art = {
+        "patch_embed": qlayer(cfg.patch_size**2 * cfg.in_channels, d),
+        "cls_token": jnp.array(
+            rng.standard_normal((1, 1, d)).astype(np.float32) * 0.02),
+        "pos_embed": jnp.array(
+            rng.standard_normal((1, cfg.num_tokens, d)).astype(np.float32) * 0.02),
+        "blocks": [
+            {
+                "norm1": ln(d),
+                "qkv": qlayer(d, 3 * d),
+                "proj": qlayer(d, d),
+                "norm2": ln(d),
+                "fc1": qlayer(d, hidden),
+                "fc2": qlayer(hidden, d),
+            }
+            for _ in range(cfg.depth)
+        ],
+        "norm": ln(d),
+    }
+    if cfg.num_classes > 0:
+        art["head"] = qlayer(d, cfg.num_classes)
+    return art

@@ -116,3 +116,33 @@ def test_full_lsfq_pipeline_through_kernel():
     np.testing.assert_allclose(
         np.asarray(int_out), np.asarray(float_out), rtol=1e-4, atol=1e-4
     )
+
+
+@pytest.mark.parametrize("fmt", ["int4", "int8"])
+@pytest.mark.parametrize("act_pow", [True, False])
+def test_quant_matmul_fa_matches_unfused(fmt, act_pow):
+    """Fused activation-quant matmul == quantize-then-matmul (levels path)."""
+    from quantized_vit_tpu.ops import quant_matmul_fa, int8_matmul_ref
+
+    rng = np.random.default_rng(11)
+    m, k, n = 24, 64, 48
+    x = jnp.array(rng.standard_normal((m, k)).astype(np.float32))
+    w_lv = _levels((k, n), seed=12, lo=-7, hi=8)
+    d = jnp.float32(0.02)
+    t = jnp.float32(1.3 if act_pow else 1.0)
+    top = jnp.float32(127.0)
+    scale = jnp.array(rng.random(n).astype(np.float32) * 0.01)
+    bias = jnp.array(rng.standard_normal(n).astype(np.float32))
+
+    p = np.abs(np.asarray(x)) ** float(t) if act_pow else np.abs(np.asarray(x))
+    x_lv = (np.sign(np.asarray(x))
+            * np.minimum(np.round(p / float(d)), float(top))).astype(np.int8)
+    acc = np.asarray(int8_matmul_ref(jnp.array(x_lv), jnp.array(w_lv)))
+    want = acc.astype(np.float32) * np.asarray(scale)[None, :] + np.asarray(bias)
+
+    w = pack_int4(jnp.array(w_lv), axis=0) if fmt == "int4" else jnp.array(w_lv)
+    got = np.asarray(quant_matmul_fa(
+        x, w, scale, bias, d, t, top, fmt=fmt, act_pow=act_pow,
+        interpret=True,
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
