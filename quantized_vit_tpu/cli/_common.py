@@ -1,0 +1,85 @@
+"""Shared CLI plumbing: dataset flags, model builders, seeding."""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Tuple
+
+import numpy as np
+
+
+def set_seed(seed: int):
+    """train.py:254-259 (python/numpy; JAX keys derive from the same seed)."""
+    import random
+
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def add_dataset_args(p: argparse.ArgumentParser):
+    p.add_argument("--dataset", default="synthetic",
+                   choices=["synthetic", "folder", "npz"],
+                   help="synthetic: random data (smoke runs); folder: "
+                        "class-per-subfolder image tree (read_split_data); "
+                        "npz: {train,test}_{images,labels} arrays")
+    p.add_argument("--data-path", default="", help="dataset root / npz file")
+    p.add_argument("--num-classes", type=int, default=10)
+    p.add_argument("--img-size", type=int, default=224)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--synthetic-samples", type=int, default=64)
+
+
+def add_model_args(p: argparse.ArgumentParser):
+    p.add_argument("--model", default="vit_b16",
+                   choices=["vit_b16", "vit_b32", "vit_l16", "vit_tiny_test"],
+                   help="vit_tiny_test is a 2-block toy for smoke runs")
+    p.add_argument("--weights", default="",
+                   help="checkpoint dir to initialize from (opt/checkpoint)")
+
+
+def build_model(args, quant):
+    """Model + config from --model (train.py:232-252 Model())."""
+    from ..models.vit import ViTConfig, VisionTransformer
+
+    if args.model == "vit_b16":
+        cfg = ViTConfig(img_size=args.img_size, patch_size=16, embed_dim=768,
+                        depth=12, num_heads=12,
+                        num_classes=args.num_classes, quant=quant)
+    elif args.model == "vit_b32":
+        cfg = ViTConfig(img_size=args.img_size, patch_size=32, embed_dim=768,
+                        depth=12, num_heads=12,
+                        num_classes=args.num_classes, quant=quant)
+    elif args.model == "vit_l16":
+        cfg = ViTConfig(img_size=args.img_size, patch_size=16, embed_dim=1024,
+                        depth=24, num_heads=16,
+                        num_classes=args.num_classes, quant=quant)
+    else:  # vit_tiny_test
+        cfg = ViTConfig(img_size=args.img_size, patch_size=16, embed_dim=64,
+                        depth=2, num_heads=2,
+                        num_classes=args.num_classes, quant=quant)
+    return VisionTransformer(cfg), cfg
+
+
+def build_datasets(args) -> Tuple:
+    """(train_ds, val_ds) per --dataset."""
+    from ..utils import ArrayDataset, ImageFolderDataset, read_split_data
+
+    if args.dataset == "synthetic":
+        rng = np.random.default_rng(0)
+        n = args.synthetic_samples
+        s = args.img_size
+
+        def mk(k):
+            return ArrayDataset(
+                rng.standard_normal((k, s, s, 3)).astype(np.float32),
+                rng.integers(0, args.num_classes, k))
+
+        return mk(n), mk(max(n // 4, args.batch_size))
+    if args.dataset == "npz":
+        with np.load(args.data_path) as z:
+            return (ArrayDataset(z["train_images"], z["train_labels"]),
+                    ArrayDataset(z["test_images"], z["test_labels"]))
+    tp, tl, vp, vl = read_split_data(args.data_path)
+    return (ImageFolderDataset(tp, tl, img_size=args.img_size),
+            ImageFolderDataset(vp, vl, img_size=args.img_size))

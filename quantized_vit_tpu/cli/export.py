@@ -1,0 +1,84 @@
+"""Artifact export driver.
+
+Replaces the reference's two-script FPGA flow (`python torch_export.py &&
+python ultranet_param_gen.py`, 4-bit quantization/readme.md:1-2) with one
+command per target:
+
+  python -m quantized_vit_tpu.cli.export ultranet --checkpoint C --out D
+  python -m quantized_vit_tpu.cli.export vit      --checkpoint C --out D
+
+ultranet: flax checkpoint -> integer (kernel_int, inc, bias) artifact
+          (artifact.ultranet; quantization.py:24-89 math).
+vit:      trained fake-quant checkpoint -> packed-INT4 serving artifact
+          (serve.export_vit_int4 + artifact.vit).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+from ._common import add_model_args, build_model
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="QViT artifact export")
+    sub = p.add_subparsers(dest="target", required=True)
+
+    pu = sub.add_parser("ultranet")
+    pu.add_argument("--checkpoint", required=True,
+                    help="checkpoint prefix with params+batch_stats "
+                         "(stats under key 'batch_stats' in extra)")
+    pu.add_argument("--out", required=True)
+    pu.add_argument("--w-bit", type=int, default=4)
+    pu.add_argument("--a-bit", type=int, default=4)
+    pu.add_argument("--l-shift", type=int, default=8)
+
+    pv = sub.add_parser("vit")
+    add_model_args(pv)
+    pv.add_argument("--checkpoint", required=True)
+    pv.add_argument("--out", required=True)
+    pv.add_argument("--img-size", type=int, default=224)
+    pv.add_argument("--num-classes", type=int, default=10)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from ..opt.checkpoint import load_checkpoint
+
+    if args.target == "ultranet":
+        from ..artifact import UltraNetExportConfig, save_ultranet_artifact
+
+        params, _, extra = load_checkpoint(args.checkpoint)
+        stats = extra.get("batch_stats")
+        if stats is None:
+            raise SystemExit(
+                "checkpoint lacks batch_stats in extra; re-save with "
+                "save_checkpoint(..., extra={'batch_stats': stats})")
+        exp = UltraNetExportConfig(w_bit=args.w_bit, a_bit=args.a_bit,
+                                   l_shift=args.l_shift)
+        out = save_ultranet_artifact(args.out, params, stats, exp)
+        print(f"[export] ultranet integer artifact -> {out}")
+        return out
+
+    from ..artifact import save_vit_int4_artifact
+    from ..cli.eval import vit_config_from_dict
+    from ..models.layers import QuantConfig
+    from ..serve import export_vit_int4
+
+    params, _, extra = load_checkpoint(args.checkpoint)
+    if "subnet" in extra:
+        cfg = vit_config_from_dict(extra["subnet"])
+    else:
+        _, cfg = build_model(args, QuantConfig(enabled=True))
+    art = export_vit_int4(cfg, params)
+    out = save_vit_int4_artifact(args.out, art, cfg)
+    print(f"[export] vit int4 artifact -> {out}")
+    return out
+
+
+if __name__ == "__main__":
+    main()

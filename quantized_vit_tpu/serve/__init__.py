@@ -2,6 +2,7 @@
 
 from .vit_int4 import (export_vit_int4, vit_int4_forward, QLayerArtifact,
                        random_vit_int4_artifact)
+from .batching import ContinuousBatcher
 
 __all__ = ["export_vit_int4", "vit_int4_forward", "QLayerArtifact",
-           "random_vit_int4_artifact"]
+           "random_vit_int4_artifact", "ContinuousBatcher"]

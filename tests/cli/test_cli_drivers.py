@@ -1,0 +1,134 @@
+"""End-to-end CLI smoke: train -> eval -> predict -> export -> load.
+
+Runs every driver in-process on the tiny test ViT with synthetic data —
+the full reference workflow (train.py -> RESULT_TEST.py -> predict.py ->
+torch_export.py) compressed into one pipeline test.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+COMMON = [
+    "--model", "vit_tiny_test", "--dataset", "synthetic",
+    "--img-size", "16", "--num-classes", "4", "--batch-size", "8",
+    "--synthetic-samples", "32",
+]
+
+
+@pytest.fixture(scope="module")
+def train_run(tmp_path_factory):
+    from quantized_vit_tpu.cli.train import main
+
+    out = str(tmp_path_factory.mktemp("cli_train"))
+    history = main(COMMON + [
+        "--epochs", "4", "--lr", "1e-3", "--variant", "sgd",
+        "--projection-start-epochs", "1", "--projection-epochs", "1",
+        "--projection-periods", "2", "--pruning-epochs", "1",
+        "--pruning-periods", "2", "--bit-reduction", "4",
+        "--target-group-sparsity", "0.3",
+        "--out-dir", out, "--seed", "0",
+    ])
+    return out, history
+
+
+def test_train_driver_produces_checkpoints_and_history(train_run):
+    out, history = train_run
+    assert len(history) == 4
+    assert all(np.isfinite(h["loss"]) for h in history)
+    for name in ("best", "final", "compressed"):
+        assert os.path.exists(os.path.join(out, name + ".npz")), name
+    with open(os.path.join(out, "history.json")) as f:
+        report = json.load(f)
+    # pruning must have bitten: compressed costs strictly below full
+    assert report["compressed"]["macs"] < report["full"]["macs"]
+    assert report["compressed"]["params"] < report["full"]["params"]
+
+
+def test_eval_driver_on_final_checkpoint(train_run):
+    from quantized_vit_tpu.cli.eval import main
+
+    out, _ = train_run
+    res = main(COMMON + ["--checkpoint", os.path.join(out, "final")])
+    assert 0.0 <= res["top1"] <= 1.0
+    assert res["samples"] > 0
+
+
+def test_eval_driver_on_compressed_checkpoint(train_run):
+    from quantized_vit_tpu.cli.eval import main
+
+    out, _ = train_run
+    res = main(COMMON + ["--checkpoint", os.path.join(out, "compressed")])
+    assert 0.0 <= res["top1"] <= 1.0
+
+
+def test_predict_driver(train_run, tmp_path):
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    from quantized_vit_tpu.cli.predict import main
+
+    out, _ = train_run
+    img = tmp_path / "img.png"
+    Image.new("RGB", (20, 20), (120, 30, 200)).save(img)
+    top = main(["--model", "vit_tiny_test",
+                "--checkpoint", os.path.join(out, "final"),
+                "--image", str(img), "--img-size", "16",
+                "--num-classes", "4", "--topk", "3"])
+    assert len(top) == 3
+    assert abs(sum(p for _, p in top) <= 1.0 + 1e-5)
+
+
+def test_export_driver_vit_and_reload(train_run, tmp_path):
+    from quantized_vit_tpu.artifact import load_vit_int4_artifact
+    from quantized_vit_tpu.cli.export import main
+
+    out, _ = train_run
+    art_dir = str(tmp_path / "vit_art")
+    main(["vit", "--model", "vit_tiny_test",
+          "--checkpoint", os.path.join(out, "final"),
+          "--out", art_dir, "--img-size", "16", "--num-classes", "4"])
+    art, cfg = load_vit_int4_artifact(art_dir)
+    assert cfg.num_classes == 4
+    assert len(art["blocks"]) == cfg.depth
+
+    import jax.numpy as jnp
+    from quantized_vit_tpu.serve import vit_int4_forward
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 16, 16, 3)).astype(np.float32))
+    logits = vit_int4_forward(art, x, cfg, use_pallas=False)
+    assert logits.shape == (2, 4)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_export_driver_ultranet(tmp_path):
+    import flax
+    import jax
+    import jax.numpy as jnp
+
+    from quantized_vit_tpu.artifact import load_ultranet_artifact
+    from quantized_vit_tpu.cli.export import main
+    from quantized_vit_tpu.models import UltraNet, UltraNetInt
+    from quantized_vit_tpu.opt.checkpoint import save_checkpoint
+
+    model = UltraNet()
+    x = jnp.asarray(np.random.default_rng(1).random(
+        (1, 32, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    ckpt = str(tmp_path / "ultranet")
+    save_checkpoint(
+        ckpt, flax.core.unfreeze(variables["params"]), None,
+        {"batch_stats": jax.tree.map(
+            np.asarray, flax.core.unfreeze(variables["batch_stats"]))})
+
+    art_dir = str(tmp_path / "ultra_art")
+    main(["ultranet", "--checkpoint", ckpt, "--out", art_dir])
+    int_params, meta = load_ultranet_artifact(art_dir)
+    x_lv = jnp.round(jnp.clip(x, 0, 1) * 255).astype(jnp.int32)
+    io_i, _ = UltraNetInt().apply({"params": int_params}, x_lv)
+    assert np.isfinite(np.asarray(io_i)).all()
+    assert meta["config"][0]["name"] == "conv_0"

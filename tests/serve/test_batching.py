@@ -1,0 +1,104 @@
+"""Continuous batcher: correctness under concurrency, bucketing, errors."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from quantized_vit_tpu.serve import ContinuousBatcher
+
+
+def _echo_forward(batch):
+    # output row = sum of input row; identifies which row each result is
+    return batch.reshape(batch.shape[0], -1).sum(axis=1, keepdims=True)
+
+
+def test_all_requests_resolve_with_correct_rows():
+    with ContinuousBatcher(_echo_forward, max_batch=4,
+                           max_delay_ms=5.0) as b:
+        imgs = [np.full((2, 2), float(i)) for i in range(13)]
+        futs = [b.submit(x) for x in imgs]
+        for i, f in enumerate(futs):
+            got = f.result(timeout=10)
+            assert got[0] == pytest.approx(4.0 * i)
+    assert b.stats["requests"] == 13
+    assert b.stats["batches"] >= 4  # 13 requests over max_batch=4
+
+
+def test_buckets_are_powers_of_two_capped():
+    b = ContinuousBatcher(_echo_forward, max_batch=6)
+    assert b.buckets == [1, 2, 4, 6]
+
+
+def test_padding_goes_to_next_bucket():
+    calls = []
+
+    def spy_forward(batch):
+        calls.append(batch.shape[0])
+        return _echo_forward(batch)
+
+    with ContinuousBatcher(spy_forward, max_batch=8,
+                           max_delay_ms=1.0) as b:
+        futs = [b.submit(np.ones((2, 2))) for _ in range(3)]
+        for f in futs:
+            f.result(timeout=10)
+    # every executed batch is a bucket size
+    assert all(c in (1, 2, 4, 8) for c in calls), calls
+
+
+def test_concurrent_submitters_all_resolve():
+    results = {}
+
+    def client(cid, b):
+        futs = [b.submit(np.full((2,), float(cid * 100 + i)))
+                for i in range(5)]
+        results[cid] = [f.result(timeout=10)[0] for f in futs]
+
+    with ContinuousBatcher(_echo_forward, max_batch=8,
+                           max_delay_ms=2.0) as b:
+        threads = [threading.Thread(target=client, args=(c, b))
+                   for c in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    for cid, vals in results.items():
+        assert vals == [pytest.approx(2.0 * (cid * 100 + i))
+                        for i in range(5)]
+
+
+def test_forward_error_propagates_to_futures():
+    def bad_forward(batch):
+        raise RuntimeError("device on fire")
+
+    with ContinuousBatcher(bad_forward, max_batch=2,
+                           max_delay_ms=1.0) as b:
+        f = b.submit(np.ones((2,)))
+        with pytest.raises(RuntimeError, match="device on fire"):
+            f.result(timeout=10)
+
+
+def test_vit_int4_artifact_through_batcher_matches_direct():
+    import jax.numpy as jnp
+
+    from quantized_vit_tpu.models.vit import ViTConfig
+    from quantized_vit_tpu.serve import (random_vit_int4_artifact,
+                                         vit_int4_forward)
+
+    cfg = ViTConfig(img_size=16, patch_size=16, embed_dim=32, depth=1,
+                    num_heads=2, num_classes=5)
+    art = random_vit_int4_artifact(cfg, seed=0)
+
+    def forward(images):
+        return np.asarray(vit_int4_forward(
+            art, jnp.asarray(images, jnp.float32), cfg, use_pallas=False))
+
+    rng = np.random.default_rng(0)
+    imgs = rng.standard_normal((6, 16, 16, 3)).astype(np.float32)
+    want = forward(imgs)
+
+    with ContinuousBatcher(forward, max_batch=4, max_delay_ms=5.0) as b:
+        futs = [b.submit(imgs[i]) for i in range(6)]
+        got = np.stack([f.result(timeout=60) for f in futs])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
