@@ -7,6 +7,13 @@ from .int4_matmul import (
     int8_matmul_xla,
     quant_matmul_fa,
 )
+from .fused import fused_quant_matmul, fused_quant_matmul_xla
+from .attention import (
+    attention_qkv,
+    attention_qkv_xla,
+    flash_attention,
+    flash_attention_xla,
+)
 from .reference import int4_matmul_ref, int8_matmul_ref, quant_linear_ref
 
 __all__ = [
@@ -15,6 +22,12 @@ __all__ = [
     "int8_matmul",
     "int4_matmul_xla",
     "int8_matmul_xla",
+    "fused_quant_matmul",
+    "fused_quant_matmul_xla",
+    "attention_qkv",
+    "attention_qkv_xla",
+    "flash_attention",
+    "flash_attention_xla",
     "int4_matmul_ref",
     "int8_matmul_ref",
     "quant_linear_ref",

@@ -1,0 +1,274 @@
+"""Pallas attention kernel for the ViT serving path.
+
+One program per (batch, head): the full [N, N] score matrix lives in VMEM
+(ViT sequences are ~200 tokens — vit_model.py:126,251 — so no KV tiling is
+needed), softmax runs in f32 registers, and nothing but q/k/v in and the
+attention output out ever touches HBM. Replaces the XLA path that
+materialized the f32 [B, H, N, N] score tensor (~15 MB at batch 8) twice per
+block.
+
+Padded key positions (the serving path pads 197 tokens up to a sublane
+multiple) are masked to -inf before the softmax, so padded tokens never leak
+into real rows. Padded *query* rows produce garbage that the caller slices
+away.
+
+The optional ``out_quant`` epilogue emits the projection layer's int8
+activation levels directly (the reference quantizes the proj input —
+quant_layers.py:356-381 via vit_model.py:150-152 — so this is the same
+quantization surface, just fused), letting the proj matmul run prologue-free
+on int8 inputs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused import _quantize_f32
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, *rest, sm_scale: float, n_valid: int,
+                 quantize: bool, out_pow: bool):
+    if quantize:
+        d_ref, t_ref, top_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    n = q.shape[0]
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale
+    if n_valid < n:
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, n), dimension=1)
+        s = jnp.where(col < n_valid, s, -1e30)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if quantize:
+        o_ref[0, 0] = _quantize_f32(o, d_ref[0], t_ref[0], top_ref[0],
+                                    out_pow)
+    else:
+        o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "n_valid", "out_pow", "out_dtype",
+                     "interpret"),
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    sm_scale: float,
+    n_valid: int | None = None,
+    out_d=None, out_t=None, out_top=None, out_pow: bool = False,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """softmax(q @ k^T * sm_scale) @ v, one VMEM-resident program per (b, h).
+
+    q/k/v: [B, H, N, hd] float. ``n_valid``: real token count (keys >= it are
+    masked; default all). ``out_d/out_t/out_top``: when given, the output is
+    quantized to int8 LSFQ levels in the epilogue.
+
+    Returns [B, H, N, hd] (``out_dtype``, or int8 when quantizing).
+    """
+    b, h, n, hd = q.shape
+    quantize = out_d is not None
+    if n_valid is None:
+        n_valid = n
+    out_eltype = jnp.int8 if quantize else out_dtype
+
+    spec = pl.BlockSpec((1, 1, n, hd), lambda i, j: (i, j, 0, 0),
+                        memory_space=pltpu.VMEM)
+    in_specs = [spec, spec, spec]
+    operands = [q, k, v]
+    if quantize:
+        smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+        in_specs += [smem(), smem(), smem()]
+        operands += [jnp.asarray(out_d, jnp.float32).reshape(1),
+                     jnp.asarray(out_t, jnp.float32).reshape(1),
+                     jnp.asarray(out_top, jnp.int32).reshape(1)]
+
+    return pl.pallas_call(
+        functools.partial(_attn_kernel, sm_scale=sm_scale, n_valid=n_valid,
+                          quantize=quantize, out_pow=out_pow),
+        grid=(b, h),
+        in_specs=in_specs,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, n, hd), out_eltype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * n * n * hd * 2,
+            bytes_accessed=3 * b * h * n * hd * q.dtype.itemsize
+            + b * h * n * hd * jnp.dtype(out_eltype).itemsize,
+            transcendentals=b * h * n * n,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
+def _attn_qkv_kernel(x_ref, *rest, heads: int, head_dim: int,
+                     sm_scale: float, n_valid: int, quantize: bool,
+                     out_pow: bool):
+    """Per-batch program over the RAW fused-qkv matmul output layout
+    [N, (3, H, hd)] — head slices are static lane slices, so no HBM
+    transpose of the [M, 3D] qkv tensor is ever materialized."""
+    if quantize:
+        d_ref, t_ref, top_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
+    x = x_ref[0]
+    n = x.shape[0]
+    hdim = heads * head_dim
+    col = None
+    if n_valid < n:
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, n), dimension=1)
+    for h in range(heads):
+        q = x[:, h * head_dim:(h + 1) * head_dim]
+        k = x[:, hdim + h * head_dim:hdim + (h + 1) * head_dim]
+        v = x[:, 2 * hdim + h * head_dim:2 * hdim + (h + 1) * head_dim]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        if col is not None:
+            s = jnp.where(col < n_valid, s, -1e30)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if quantize:
+            o_ref[0, :, h * head_dim:(h + 1) * head_dim] = _quantize_f32(
+                o, d_ref[0], t_ref[0], top_ref[0], out_pow)
+        else:
+            o_ref[0, :, h * head_dim:(h + 1) * head_dim] = o.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "sm_scale", "n_valid", "out_pow", "out_dtype",
+                     "interpret"),
+)
+def attention_qkv(
+    qkv: jax.Array,
+    *,
+    heads: int,
+    sm_scale: float,
+    n_valid: int | None = None,
+    out_d=None, out_t=None, out_top=None, out_pow: bool = False,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Multi-head attention straight off the fused-qkv projection output.
+
+    qkv: [B, N, 3*H*hd] float, columns ordered (3, H, hd) as produced by the
+    fused qkv Dense (vit_model.py:129). Returns [B, N, H*hd] — the proj
+    layer's input layout — with no intermediate HBM transpose. With
+    ``out_d/out_t/out_top`` the output is the proj layer's int8 levels.
+    """
+    b, n, three_hdim = qkv.shape
+    head_dim = three_hdim // (3 * heads)
+    quantize = out_d is not None
+    if n_valid is None:
+        n_valid = n
+    out_eltype = jnp.int8 if quantize else out_dtype
+
+    in_specs = [pl.BlockSpec((1, n, three_hdim), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    operands = [qkv]
+    if quantize:
+        smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+        in_specs += [smem(), smem(), smem()]
+        operands += [jnp.asarray(out_d, jnp.float32).reshape(1),
+                     jnp.asarray(out_t, jnp.float32).reshape(1),
+                     jnp.asarray(out_top, jnp.int32).reshape(1)]
+
+    return pl.pallas_call(
+        functools.partial(
+            _attn_qkv_kernel, heads=heads, head_dim=head_dim,
+            sm_scale=sm_scale, n_valid=n_valid, quantize=quantize,
+            out_pow=out_pow),
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, n, heads * head_dim), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, heads * head_dim), out_eltype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * heads * n * n * head_dim * 2,
+            bytes_accessed=b * n * three_hdim * qkv.dtype.itemsize
+            + b * n * heads * head_dim * jnp.dtype(out_eltype).itemsize,
+            transcendentals=b * heads * n * n,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
+def attention_qkv_xla(qkv, *, heads, sm_scale, n_valid=None,
+                      out_d=None, out_t=None, out_top=None, out_pow=False,
+                      out_dtype=jnp.bfloat16):
+    """Pure-XLA mirror of :func:`attention_qkv` (same f32 semantics)."""
+    b, n, three_hdim = qkv.shape
+    head_dim = three_hdim // (3 * heads)
+    x = qkv.reshape(b, n, 3, heads, head_dim)
+    q, k, v = x[:, :, 0], x[:, :, 1], x[:, :, 2]  # [B, N, H, hd]
+    s = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                   preferred_element_type=jnp.float32) * sm_scale
+    if n_valid is not None and n_valid < n:
+        col = jnp.arange(n)
+        s = jnp.where(col[None, None, None, :] < n_valid, s, -1e30)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.einsum("bhnm,bmhd->bnhd", p.astype(qkv.dtype), v,
+                   preferred_element_type=jnp.float32)
+    o = o.reshape(b, n, heads * head_dim)
+    if out_d is not None:
+        return _quantize_f32(o, jnp.asarray(out_d, jnp.float32),
+                             jnp.asarray(out_t, jnp.float32),
+                             jnp.asarray(out_top, jnp.int32), out_pow)
+    return o.astype(out_dtype)
+
+
+def flash_attention_xla(q, k, v, *, sm_scale, n_valid=None,
+                        out_d=None, out_t=None, out_top=None, out_pow=False,
+                        out_dtype=jnp.bfloat16):
+    """Pure-XLA mirror with identical f32 softmax/masking semantics."""
+    b, h, n, hd = q.shape
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                   preferred_element_type=jnp.float32) * sm_scale
+    if n_valid is not None and n_valid < n:
+        col = jnp.arange(n)
+        s = jnp.where(col[None, None, None, :] < n_valid, s, -1e30)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.einsum("bhnm,bhmd->bhnd", p.astype(q.dtype), v,
+                   preferred_element_type=jnp.float32)
+    if out_d is not None:
+        return _quantize_f32(o, jnp.asarray(out_d, jnp.float32),
+                             jnp.asarray(out_t, jnp.float32),
+                             jnp.asarray(out_top, jnp.int32), out_pow)
+    return o.astype(out_dtype)

@@ -1,0 +1,428 @@
+"""Generation-2 fused Pallas kernels for the INT4/INT8 serving path.
+
+Profiling the v1 path (ops/int4_matmul.py driving serve/vit_int4.py) on a
+real v5e chip showed ~1.2 ms/step of pure data movement (per-call pad/slice,
+qkv transposes, f32 softmax materialization, GELU HBM round trips) on top of
+~1.3 ms of kernel time for a 3.7 ms ViT-B/16 batch-8 step. These kernels
+remove that movement by fusing the float glue into the matmul programs:
+
+- ``fused_quant_matmul``: int4/int8 weight matmul with
+  * prologue  ``None`` (x already int8 levels) | ``'quant'`` (LSFQ activation
+    quantization of float x in VMEM) | ``'ln_quant'`` (LayerNorm, then
+    quantization — the pre-norm ViT block reads the residual stream once);
+  * epilogue  dequant ``acc*scale+bias`` always, then optionally
+    ``residual`` add (emits the new residual stream, bf16) or
+    ``'quant'``/``'gelu_quant'`` (emits the NEXT layer's int8 levels, so the
+    consumer runs prologue-free and inter-layer traffic is int8).
+- one N stripe per kernel (grid is 1-D over M): the activation quantization
+  runs exactly once per input row, and the packed weight is unpacked exactly
+  once into VMEM scratch (all ViT-B weight stripes fit: <=2.4 MB unpacked).
+
+The reference quantizes exactly the Linear/Conv inputs and weights
+(quant_layers.py:575-587); these fusions keep that quantization surface —
+LayerNorm/softmax/GELU/residual stay float — while changing only where the
+math runs. Numerics match the unfused path bit-for-bit: the level
+computation is f32 with the same clip(round(|x|^t/d), top) form (see
+quant/lsfq.py for why clip-round equals the reference's masked min form).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(a: int, b: int) -> int:
+    return _cdiv(a, b) * b
+
+
+_VMEM_BUDGET = 10 * 2**20  # headroom below the 16 MB scoped limit: Mosaic
+# stacks more f32 temporaries than the analytic estimate (observed ~1.4x)
+
+
+def _quantize_f32(x, d, t, top, act_pow: bool):
+    """LSFQ levels: clip(round(|x|^t / d), -top, top) * sign, f32 math.
+
+    Equal to the reference's masked form sign(x)*min(round(|x|^t/d), top)
+    with the |x|>=q_m clamp, because round is monotone and symmetric (RTNE)
+    and top = round((q_m^t - q_s)/d) — see quant/lsfq.py:lsfq_top_level.
+    """
+    x = x.astype(jnp.float32)
+    top_f = top.astype(jnp.float32)
+    if act_pow:
+        x_abs = jnp.abs(x)
+        p = jnp.exp(t * jnp.log(jnp.maximum(x_abs, 1e-30)))
+        lv = jnp.sign(x) * jnp.minimum(jnp.round(p / d), top_f)
+    else:
+        lv = jnp.clip(jnp.round(x * (1.0 / d)), -top_f, top_f)
+    return lv.astype(jnp.int8)
+
+
+def _layernorm_f32(x, gamma, beta, eps, k_real=None):
+    """LayerNorm in f32, fast-variance form (matches flax.linen.LayerNorm).
+
+    ``k_real``: true feature count when the lane dim carries zero padding —
+    sums ignore zero lanes, so dividing by k_real recovers the unpadded
+    statistics; padded gamma/beta are zero, keeping padded outputs at 0.
+    """
+    x32 = x.astype(jnp.float32)
+    k = k_real if k_real is not None else x.shape[-1]
+    inv_k = 1.0 / float(k)
+    mu = jnp.sum(x32, axis=-1, keepdims=True) * inv_k
+    mean2 = jnp.sum(jnp.square(x32), axis=-1, keepdims=True) * inv_k
+    var = jnp.maximum(mean2 - jnp.square(mu), 0.0)
+    return (x32 - mu) * jax.lax.rsqrt(var + eps) * gamma + beta
+
+
+# odd-polynomial erf: erf(v) ~= v * Q(v^2) on [-3, 3], clamped to +-1
+# outside (erf(3) = 1 - 2.2e-5). Least-squares fit on Chebyshev nodes; f32
+# max abs err 2e-5 (GELU err < 6e-5 — far below one int4/int8 quant step).
+# Division- and exp-free: ~12 VPU ops/element vs ~15 + exp + div for the
+# classic Abramowitz-Stegun form — the GELU epilogue runs serialized with
+# the MXU inside the kernel, so VPU ops/element is the direct cost.
+_ERF_COEFS = (
+    1.1283599175e+00, -3.7593882588e-01, 1.1232775694e-01,
+    -2.6235395208e-02, 4.7904567555e-03, -6.7044305525e-04,
+    6.8676254719e-05, -4.7833020379e-06, 2.0007422656e-07,
+    -3.7614352195e-09,
+)
+
+
+def _erf_f32(x):
+    """erf as a clamped odd polynomial (see _ERF_COEFS note).
+
+    Mosaic has no erf primitive; this polynomial keeps the exact-GELU
+    semantics of nn.gelu(approximate=False) to well below one int4/int8
+    quantization step. Used by BOTH the Pallas kernel and the XLA mirror so
+    the two paths stay bit-identical.
+    """
+    v = jnp.clip(x, -3.0, 3.0)
+    v2 = v * v
+    acc = jnp.float32(_ERF_COEFS[-1])
+    for c in _ERF_COEFS[-2::-1]:
+        acc = acc * v2 + jnp.float32(c)
+    return jnp.clip(acc * v, -1.0, 1.0)
+
+
+def _gelu_f32(x):
+    # exact (erf) GELU — matches jax.nn.gelu(approximate=False) to ~1e-7
+    return x * 0.5 * (1.0 + _erf_f32(x * (2.0**-0.5)))
+
+
+def _dots_int(lv, w_ref, w_lo_ref, w_hi_ref, *, fmt: str, k_half: int):
+    if fmt == "int4":
+        acc = jax.lax.dot_general(
+            lv[:, :k_half], w_lo_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        acc += jax.lax.dot_general(
+            lv[:, k_half:], w_hi_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    else:
+        acc = jax.lax.dot_general(
+            lv, w_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    return acc
+
+
+def _fused_kernel(*refs, fmt: str, k_half: int, k_real: int, prologue,
+                  epilogue, act_pow: bool, out_pow: bool, ln_eps: float,
+                  has_bias: bool):
+    """Ref order: x, w, scale, [bias], [ln_g, ln_b], [residual],
+    [smem scalars: act_d, act_t, act_top][, out_d, out_t, out_top], o,
+    [w_lo, w_hi]."""
+    it = iter(refs)
+    x_ref = next(it)
+    w_ref = next(it)
+    scale_ref = next(it)
+    bias_ref = next(it) if has_bias else None
+    ln_g_ref = ln_b_ref = None
+    if prologue == "ln_quant":
+        ln_g_ref = next(it)
+        ln_b_ref = next(it)
+    res_ref = next(it) if epilogue == "residual" else None
+    act_d = act_t = act_top = None
+    if prologue in ("quant", "ln_quant"):
+        act_d, act_t, act_top = next(it), next(it), next(it)
+    out_d = out_t = out_top = None
+    if epilogue in ("quant", "gelu_quant"):
+        out_d, out_t, out_top = next(it), next(it), next(it)
+    o_ref = next(it)
+    w_lo_ref = w_hi_ref = None
+    if fmt == "int4":
+        w_lo_ref = next(it)
+        w_hi_ref = next(it)
+
+    if fmt == "int4":
+        @pl.when(pl.program_id(0) == 0)
+        def _unpack():
+            # Mosaic lacks int8 vector shifts; sign-extend nibbles via int32.
+            p = w_ref[:].astype(jnp.int32)
+            w_lo_ref[:] = ((p << 28) >> 28).astype(jnp.int8)
+            w_hi_ref[:] = (p >> 4).astype(jnp.int8)
+
+    # ---- prologue: float x -> int8 levels (or pass-through levels) ----
+    if prologue is None:
+        lv = x_ref[:]
+    else:
+        xx = x_ref[:]
+        if prologue == "ln_quant":
+            xx = _layernorm_f32(xx, ln_g_ref[:], ln_b_ref[:], ln_eps,
+                                k_real=k_real)
+        lv = _quantize_f32(xx, act_d[0], act_t[0], act_top[0], act_pow)
+
+    acc = _dots_int(lv, w_ref, w_lo_ref, w_hi_ref, fmt=fmt, k_half=k_half)
+
+    # ---- epilogue: dequant (+bias), then residual / (gelu+)quant ----
+    out = acc.astype(jnp.float32) * scale_ref[:]
+    if has_bias:
+        out = out + bias_ref[:]
+    if epilogue == "residual":
+        out = out + res_ref[:].astype(jnp.float32)
+        o_ref[:] = out.astype(o_ref.dtype)
+    elif epilogue in ("quant", "gelu_quant"):
+        if epilogue == "gelu_quant":
+            out = _gelu_f32(out)
+        o_ref[:] = _quantize_f32(out, out_d[0], out_t[0], out_top[0], out_pow)
+    else:
+        o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _pick_block_m(m: int, kp: int, n: int, x_bytes: int, out_bytes: int,
+                  fmt: str, extra_bytes: int) -> int:
+    """Largest M tile (multiple of 32 rows) fitting the VMEM budget.
+
+    Accounts double buffering of the streamed x/out/residual blocks, the
+    resident weight stripe (+ unpack scratch for int4), AND the f32 stack
+    intermediates Mosaic materializes inside the program (the f32 prologue
+    view of x and the f32 dequant accumulator view of the output)."""
+    w_bytes = kp * n // 2 + kp * n if fmt == "int4" else kp * n
+    bm = _round_up(m, 32)
+    while bm > 32:
+        stream = bm * kp * x_bytes + bm * n * out_bytes + bm * extra_bytes
+        stack = bm * kp * 4 + bm * n * 4
+        if 2 * stream + stack + w_bytes <= _VMEM_BUDGET:
+            break
+        bm = _round_up(bm // 2, 32)
+    return bm
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fmt", "prologue", "epilogue", "act_pow", "out_pow",
+                     "ln_eps", "out_dtype", "block_m", "interpret"),
+)
+def fused_quant_matmul(
+    x: jax.Array,
+    w: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array | None = None,
+    *,
+    fmt: str = "int4",
+    prologue: str | None = "quant",
+    act_d=None, act_t=None, act_top=None, act_pow: bool = False,
+    ln_scale=None, ln_bias=None, ln_eps: float = 1e-6,
+    epilogue: str | None = None,
+    residual: jax.Array | None = None,
+    out_d=None, out_t=None, out_top=None, out_pow: bool = False,
+    out_dtype=jnp.bfloat16,
+    block_m: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused quantized matmul: see module docstring.
+
+    x: [M, K] — float (prologue 'quant'/'ln_quant') or int8 levels
+       (prologue None).
+    w: [K//2, N] packed int4 (fmt='int4') or [K, N] int8 (fmt='int8').
+    scale: scalar or [N] f32 dequant scale (d_w * d_a); bias: [N] f32 or None.
+    prologue 'ln_quant' needs ln_scale/ln_bias ([K] f32).
+    epilogue: None | 'residual' (+residual [M, N]) | 'quant' | 'gelu_quant'
+      (the latter two need out_d/out_t/out_top — the NEXT layer's activation
+      quantizer — and emit int8 levels).
+    M and K must be whole (any value; padded internally only if misaligned);
+    N is processed as one stripe and must fit VMEM (all ViT shapes do).
+    """
+    m, k = x.shape
+    if fmt == "int4":
+        k_w, n = w.shape[0] * 2, w.shape[1]
+        if w.dtype != jnp.int8:
+            raise TypeError("packed int4 weights must be int8-typed")
+    else:
+        k_w, n = w.shape
+    if k != k_w:
+        raise ValueError(f"K mismatch: x {k} vs w {k_w}")
+    if prologue is None and x.dtype != jnp.int8:
+        raise TypeError("prologue=None requires int8 level input")
+    if prologue == "ln_quant" and (ln_scale is None or ln_bias is None):
+        raise ValueError("ln_quant prologue requires ln_scale/ln_bias")
+    if epilogue == "residual" and residual is None:
+        raise ValueError("residual epilogue requires residual array")
+    if epilogue in ("quant", "gelu_quant") and out_d is None:
+        raise ValueError(f"{epilogue} epilogue requires out_d/out_t/out_top")
+
+    scale = jnp.broadcast_to(jnp.asarray(scale, jnp.float32), (n,))
+    has_bias = bias is not None
+    if has_bias:
+        bias = jnp.asarray(bias, jnp.float32)
+
+    # K alignment: int4 needs each packed half sublane-aligned (K mult of 256)
+    kp = _round_up(k, 256 if fmt == "int4" else 128)
+    np_ = _round_up(n, 128)
+    if kp != k:
+        # zero pad: int8 zero levels / float zeros quantizing to level 0 are
+        # no-op contraction rows; LN statistics divide by the real K (and
+        # zero-padded gamma/beta keep padded lanes at exactly 0).
+        x = jnp.pad(x, ((0, 0), (0, kp - k)))
+    if fmt == "int4" and (kp // 2, np_) != w.shape:
+        from ..quant.packing import unpack_int4, pack_int4
+
+        w_full = unpack_int4(w, axis=0)
+        w_full = jnp.pad(w_full, ((0, kp - k), (0, np_ - n)))
+        w = pack_int4(w_full, axis=0)
+    elif fmt == "int8" and (kp, np_) != w.shape:
+        w = jnp.pad(w, ((0, kp - k), (0, np_ - n)))
+    if np_ != n:
+        scale = jnp.pad(scale, (0, np_ - n))
+        if has_bias:
+            bias = jnp.pad(bias, (0, np_ - n))
+        if residual is not None:
+            residual = jnp.pad(residual, ((0, 0), (0, np_ - n)))
+
+    x_bytes = 1 if prologue is None else x.dtype.itemsize
+    out_int8 = epilogue in ("quant", "gelu_quant")
+    out_eltype = jnp.int8 if out_int8 else out_dtype
+    out_bytes = jnp.dtype(out_eltype).itemsize
+    extra = residual.dtype.itemsize * np_ if residual is not None else 0
+    bm = block_m or _pick_block_m(m, kp, np_, x_bytes, out_bytes, fmt, extra)
+    mp = _round_up(m, bm)
+    if mp != m:
+        x = jnp.pad(x, ((0, mp - m), (0, 0)))
+        if residual is not None:
+            residual = jnp.pad(residual, ((0, mp - m), (0, 0)))
+
+    grid = (mp // bm,)
+    in_specs = [
+        pl.BlockSpec((bm, kp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(((kp // 2) if fmt == "int4" else kp, np_),
+                     lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, np_), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [x, w, scale[None, :]]
+    if has_bias:
+        in_specs.append(pl.BlockSpec((1, np_), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(bias[None, :])
+    if prologue == "ln_quant":
+        for arr in (ln_scale, ln_bias):
+            arr = jnp.asarray(arr, jnp.float32)
+            if kp != k:
+                arr = jnp.pad(arr, (0, kp - k))
+            in_specs.append(pl.BlockSpec((1, kp), lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+            operands.append(arr[None, :])
+    if epilogue == "residual":
+        in_specs.append(pl.BlockSpec((bm, np_), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(residual)
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    if prologue in ("quant", "ln_quant"):
+        in_specs += [smem(), smem(), smem()]
+        operands += [jnp.asarray(act_d, jnp.float32).reshape(1),
+                     jnp.asarray(act_t, jnp.float32).reshape(1),
+                     jnp.asarray(act_top, jnp.int32).reshape(1)]
+    if out_int8:
+        in_specs += [smem(), smem(), smem()]
+        operands += [jnp.asarray(out_d, jnp.float32).reshape(1),
+                     jnp.asarray(out_t, jnp.float32).reshape(1),
+                     jnp.asarray(out_top, jnp.int32).reshape(1)]
+
+    scratch = []
+    w_hbm_bytes = kp * np_ // 2
+    if fmt == "int4":
+        scratch = [pltpu.VMEM((kp // 2, np_), jnp.int8),
+                   pltpu.VMEM((kp // 2, np_), jnp.int8)]
+    else:
+        w_hbm_bytes = kp * np_
+
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_kernel, fmt=fmt, k_half=kp // 2, k_real=k,
+            prologue=prologue, epilogue=epilogue, act_pow=act_pow,
+            out_pow=out_pow, ln_eps=ln_eps, has_bias=has_bias),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, np_), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_eltype),
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=(mp * kp * x_bytes + w_hbm_bytes
+                            + mp * np_ * out_bytes + extra * mp),
+            transcendentals=mp * kp * (2 if act_pow else 0)
+            + (mp * np_ if epilogue == "gelu_quant" else 0),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(*operands)
+    if (mp, np_) != (m, n):
+        out = out[:m, :n]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# XLA reference with identical semantics (CPU fallback / parity oracle)
+# ---------------------------------------------------------------------------
+
+
+def fused_quant_matmul_xla(
+    x, w, scale, bias=None, *, fmt="int4", prologue="quant",
+    act_d=None, act_t=None, act_top=None, act_pow=False,
+    ln_scale=None, ln_bias=None, ln_eps=1e-6,
+    epilogue=None, residual=None,
+    out_d=None, out_t=None, out_top=None, out_pow=False,
+    out_dtype=jnp.bfloat16,
+):
+    """Pure-XLA mirror of :func:`fused_quant_matmul` (same f32 level math)."""
+    from .reference import int4_matmul_ref, int8_matmul_ref
+
+    if prologue is None:
+        lv = x
+    else:
+        xx = x
+        if prologue == "ln_quant":
+            xx = _layernorm_f32(xx, jnp.asarray(ln_scale, jnp.float32),
+                                jnp.asarray(ln_bias, jnp.float32), ln_eps,
+                                k_real=x.shape[-1])
+        lv = _quantize_f32(xx, jnp.asarray(act_d, jnp.float32),
+                           jnp.asarray(act_t, jnp.float32),
+                           jnp.asarray(act_top, jnp.int32), act_pow)
+    acc = int4_matmul_ref(lv, w) if fmt == "int4" else int8_matmul_ref(lv, w)
+    out = acc.astype(jnp.float32) * jnp.broadcast_to(
+        jnp.asarray(scale, jnp.float32), (acc.shape[-1],))
+    if bias is not None:
+        out = out + jnp.asarray(bias, jnp.float32)
+    if epilogue == "residual":
+        return (out + residual.astype(jnp.float32)).astype(out_dtype)
+    if epilogue in ("quant", "gelu_quant"):
+        if epilogue == "gelu_quant":
+            out = _gelu_f32(out)
+        return _quantize_f32(out, jnp.asarray(out_d, jnp.float32),
+                             jnp.asarray(out_t, jnp.float32),
+                             jnp.asarray(out_top, jnp.int32), out_pow)
+    return out.astype(out_dtype)

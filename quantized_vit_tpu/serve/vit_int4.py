@@ -49,8 +49,8 @@ class QLayerArtifact:
     act_pow: bool = True
 
 from ..models.vit import ViTConfig
-from ..ops import (int4_matmul, int8_matmul, int4_matmul_xla,
-                   int8_matmul_xla, quant_matmul_fa)
+from ..ops import (attention_qkv, attention_qkv_xla, fused_quant_matmul,
+                   fused_quant_matmul_xla)
 from ..quant.lsfq import lsfq_levels, lsfq_top_level, _safe_pow, _EPS
 from ..quant.packing import pack_int4
 
@@ -136,24 +136,17 @@ def export_vit_int4(cfg: ViTConfig, params: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def _qmatmul(x2d, entry: QLayerArtifact, use_pallas: bool,
-             float_dtype=jnp.float32):
-    if use_pallas:
-        # Fully fused path: activation quantization runs in the kernel
-        # prologue, bias + dtype cast in the epilogue — one read of x, one
-        # store of the output, nothing else touches HBM.
-        return quant_matmul_fa(
-            x2d, entry.w, entry.scale, entry.bias,
-            entry.act["d"], entry.act["t"], entry.act["top"],
-            fmt=entry.fmt, act_pow=entry.act_pow, out_dtype=float_dtype,
-        )
-    lv = _act_levels(x2d, entry.act)
-    f4 = int4_matmul if use_pallas else int4_matmul_xla
-    f8 = int8_matmul if use_pallas else int8_matmul_xla
-    op = f4 if entry.fmt == "int4" else f8
-    out = op(lv, entry.w, entry.scale)
-    if entry.bias is not None:
-        out = out + entry.bias
-    return out.astype(float_dtype)
+             float_dtype=jnp.float32, **kw):
+    """Quantized matmul with fused prologue/epilogue (see ops/fused.py)."""
+    mm = fused_quant_matmul if use_pallas else fused_quant_matmul_xla
+    kw.setdefault("prologue", "quant")
+    if kw["prologue"] is not None:
+        kw.setdefault("act_d", entry.act["d"])
+        kw.setdefault("act_t", entry.act["t"])
+        kw.setdefault("act_top", entry.act["top"])
+        kw.setdefault("act_pow", entry.act_pow)
+    return mm(x2d, entry.w, entry.scale, entry.bias, fmt=entry.fmt,
+              out_dtype=float_dtype, **kw)
 
 
 def _layernorm(x, p, eps=1e-6):
@@ -165,6 +158,10 @@ def _layernorm(x, p, eps=1e-6):
             + p["bias"]).astype(dt)
 
 
+def _round_up(a: int, b: int) -> int:
+    return -(-a // b) * b
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "use_pallas", "float_dtype")
 )
@@ -172,53 +169,88 @@ def vit_int4_forward(art, images, cfg: ViTConfig, use_pallas: bool = True,
                      float_dtype=jnp.float32):
     """Quantized ViT forward on integer weights. images: [B, H, W, 3] f32.
 
-    ``float_dtype`` sets the dtype of the float glue (LN, attention, GELU,
-    residuals). bf16 is the serving configuration (halves inter-kernel HBM
-    traffic and doubles attention-einsum rate); f32 is the strict-parity
-    configuration the tests compare against the fake-quant model. Activation
-    level computation always runs in f32 so levels never flip.
+    Fully fused serving pipeline (per transformer block, 5 kernels and no
+    intermediate HBM glue):
+
+      qkv  = fused_quant_matmul(x, prologue=LN1+quant)          bf16 [M, 3D]
+      alv  = attention_qkv(qkv) -> softmax in VMEM, epilogue
+             quantizes to the proj layer's int8 levels           int8 [M, D]
+      x    = fused_quant_matmul(alv, epilogue=residual+x)       bf16 [M, D]
+      hlv  = fused_quant_matmul(x, prologue=LN2+quant,
+             epilogue=GELU+quant to fc2's levels)                int8 [M, Hid]
+      x    = fused_quant_matmul(hlv, epilogue=residual+x)       bf16 [M, D]
+
+    Tokens are padded once (197 -> multiple of 16) right after pos-embed; the
+    attention kernel masks padded keys, so no per-kernel pad/slice runs.
+
+    ``float_dtype`` sets the residual-stream dtype. bf16 is the serving
+    configuration; f32 is the strict-parity configuration the tests compare
+    against the fake-quant model. Level math is always f32 so levels never
+    flip between the two.
     """
     b = images.shape[0]
     p = cfg.patch_size
     g = cfg.img_size // p
+    dim = cfg.embed_dim
+    mm = fused_quant_matmul if use_pallas else fused_quant_matmul_xla
+    attn_fn = attention_qkv if use_pallas else attention_qkv_xla
 
     # patch embed as gemm: [B, g, p, g, p, C] -> [B*g*g, p*p*C]
     x = images.reshape(b, g, p, g, p, cfg.in_channels)
-    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b * g * g, p * p * cfg.in_channels)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
+        b * g * g, p * p * cfg.in_channels)
     x = _qmatmul(x, art["patch_embed"], use_pallas, float_dtype)
-    x = x.reshape(b, g * g, cfg.embed_dim)
+    x = x.reshape(b, g * g, dim)
 
-    cls = jnp.broadcast_to(art["cls_token"], (b, 1, cfg.embed_dim)).astype(float_dtype)
+    cls = jnp.broadcast_to(art["cls_token"], (b, 1, dim)).astype(float_dtype)
     x = jnp.concatenate([cls, x], axis=1) + art["pos_embed"].astype(float_dtype)
 
-    n = x.shape[1]
-    heads = cfg.num_heads
-    hd = cfg.embed_dim // heads
-    scale = cfg.qk_scale if cfg.qk_scale is not None else hd**-0.5
+    n_real = cfg.num_tokens
+    n_pad = _round_up(n_real, 16)  # bf16 sublane tile; zero rows are inert
+    if n_pad != n_real:
+        x = jnp.pad(x, ((0, 0), (0, n_pad - n_real), (0, 0)))
+    x2d = x.reshape(b * n_pad, dim)
+
+    hd = dim // cfg.num_heads
+    sm_scale = cfg.qk_scale if cfg.qk_scale is not None else hd**-0.5
 
     for blk in art["blocks"]:
-        h = _layernorm(x, blk["norm1"])
-        qkv = _qmatmul(h.reshape(b * n, -1), blk["qkv"], use_pallas, float_dtype)
-        qkv = qkv.reshape(b, n, 3, heads, hd)
-        qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))
-        q, k, v = qkv[0], qkv[1], qkv[2]
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                          preferred_element_type=jnp.float32) * scale
-        attn = jax.nn.softmax(attn, axis=-1).astype(float_dtype)
-        o = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
-                       preferred_element_type=jnp.float32).astype(float_dtype)
-        o = jnp.transpose(o, (0, 2, 1, 3)).reshape(b * n, cfg.embed_dim)
-        o = _qmatmul(o, blk["proj"], use_pallas, float_dtype)
-        x = x + o.reshape(b, n, cfg.embed_dim)
+        proj_e = blk["proj"]
+        fc2_e = blk["fc2"]
+        # heads may differ per block in GETA-compressed subnets; the qkv
+        # width encodes it (N = 3 * heads_i * hd)
+        heads_i = blk["qkv"].w.shape[1] // (3 * hd)
 
-        h = _layernorm(x, blk["norm2"])
-        h = _qmatmul(h.reshape(b * n, -1), blk["fc1"], use_pallas, float_dtype)
-        h = jax.nn.gelu(h, approximate=False)
-        h = _qmatmul(h, blk["fc2"], use_pallas, float_dtype)
-        x = x + h.reshape(b, n, cfg.embed_dim)
+        qkv = _qmatmul(
+            x2d, blk["qkv"], use_pallas, float_dtype,
+            prologue="ln_quant",
+            ln_scale=blk["norm1"]["scale"], ln_bias=blk["norm1"]["bias"],
+        )
+        alv = attn_fn(
+            qkv.reshape(b, n_pad, 3 * heads_i * hd),
+            heads=heads_i, sm_scale=sm_scale, n_valid=n_real,
+            out_d=proj_e.act["d"], out_t=proj_e.act["t"],
+            out_top=proj_e.act["top"], out_pow=proj_e.act_pow,
+        )
+        x2d = _qmatmul(
+            alv.reshape(b * n_pad, heads_i * hd), proj_e, use_pallas,
+            float_dtype, prologue=None, epilogue="residual", residual=x2d,
+        )
+        hlv = _qmatmul(
+            x2d, blk["fc1"], use_pallas, float_dtype,
+            prologue="ln_quant",
+            ln_scale=blk["norm2"]["scale"], ln_bias=blk["norm2"]["bias"],
+            epilogue="gelu_quant",
+            out_d=fc2_e.act["d"], out_t=fc2_e.act["t"],
+            out_top=fc2_e.act["top"], out_pow=fc2_e.act_pow,
+        )
+        x2d = _qmatmul(
+            hlv, fc2_e, use_pallas, float_dtype,
+            prologue=None, epilogue="residual", residual=x2d,
+        )
 
-    x = _layernorm(x, art["norm"])
-    x = x[:, 0].astype(jnp.float32)
+    x = x2d.reshape(b, n_pad, dim)[:, 0]  # cls row; LN is per-row
+    x = _layernorm(x, art["norm"]).astype(jnp.float32)
     if "pre_logits" in art:
         x = jnp.tanh(x @ art["pre_logits"]["kernel"] + art["pre_logits"]["bias"])
     if "head" in art:

@@ -1,0 +1,195 @@
+"""Gen-2 fused kernels vs their XLA mirrors (interpret mode, exact parity).
+
+fused_quant_matmul prologues (quant / ln_quant) and epilogues (residual /
+quant / gelu_quant) and attention_qkv must match the pure-XLA mirrors
+bit-for-bit — both sides share the same f32 level math (ops/fused.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from quantized_vit_tpu.ops import (
+    attention_qkv,
+    attention_qkv_xla,
+    fused_quant_matmul,
+    fused_quant_matmul_xla,
+)
+from quantized_vit_tpu.ops.fused import _erf_f32
+from quantized_vit_tpu.quant import pack_int4
+
+M, K, N = 48, 64, 96
+
+
+def _mk(seed=0, fmt="int4"):
+    rng = np.random.default_rng(seed)
+    x = jnp.array(rng.standard_normal((M, K)).astype(np.float32))
+    w_lv = rng.integers(-7, 8, (K, N)).astype(np.int8)
+    w = pack_int4(jnp.array(w_lv), axis=0) if fmt == "int4" else jnp.array(w_lv)
+    scale = jnp.array(rng.random(N).astype(np.float32) * 0.01)
+    bias = jnp.array(rng.standard_normal(N).astype(np.float32) * 0.1)
+    act = dict(act_d=jnp.float32(0.05), act_t=jnp.float32(1.0),
+               act_top=jnp.int32(7), act_pow=False)
+    return rng, x, w, scale, bias, act
+
+
+@pytest.mark.parametrize("fmt", ["int4", "int8"])
+def test_fused_quant_prologue_matches_xla(fmt):
+    _, x, w, scale, bias, act = _mk(fmt=fmt)
+    want = fused_quant_matmul_xla(x, w, scale, bias, fmt=fmt,
+                                  prologue="quant", **act,
+                                  out_dtype=jnp.float32)
+    got = fused_quant_matmul(x, w, scale, bias, fmt=fmt, prologue="quant",
+                             **act, out_dtype=jnp.float32, interpret=True)
+    # integer accumulations agree exactly; the f32 epilogue may fuse
+    # multiply-add differently between the two lowerings
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_fused_ln_quant_prologue_matches_xla():
+    rng, x, w, scale, bias, act = _mk(seed=1)
+    g = jnp.array(rng.standard_normal(K).astype(np.float32) * 0.1 + 1.0)
+    b = jnp.array(rng.standard_normal(K).astype(np.float32) * 0.1)
+    kw = dict(fmt="int4", prologue="ln_quant", ln_scale=g, ln_bias=b,
+              out_dtype=jnp.float32, **act)
+    want = fused_quant_matmul_xla(x, w, scale, bias, **kw)
+    got = fused_quant_matmul(x, w, scale, bias, interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_fused_ln_matches_flax_layernorm():
+    """The in-kernel LayerNorm (fast-variance) must track flax's LayerNorm:
+    feed identity quantization so the only transform is LN + matmul."""
+    import flax.linen as nn
+
+    rng, x, w, scale, bias, act = _mk(seed=2)
+    g = jnp.array(rng.standard_normal(K).astype(np.float32) * 0.1 + 1.0)
+    b = jnp.array(rng.standard_normal(K).astype(np.float32) * 0.1)
+    ln = nn.LayerNorm(epsilon=1e-6)
+    y_flax = ln.apply({"params": {"scale": g, "bias": b}}, x)
+    from quantized_vit_tpu.ops.fused import _layernorm_f32
+
+    y_mine = _layernorm_f32(x, g, b, 1e-6)
+    np.testing.assert_allclose(np.asarray(y_mine), np.asarray(y_flax),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_residual_epilogue():
+    rng, x, w, scale, bias, act = _mk(seed=3)
+    x_lv = jnp.array(rng.integers(-7, 8, (M, K)), jnp.int8)
+    res = jnp.array(rng.standard_normal((M, N)).astype(np.float32))
+    kw = dict(fmt="int4", prologue=None, epilogue="residual", residual=res,
+              out_dtype=jnp.float32)
+    want = fused_quant_matmul_xla(x_lv, w, scale, bias, **kw)
+    got = fused_quant_matmul(x_lv, w, scale, bias, interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("epi", ["quant", "gelu_quant"])
+def test_fused_int8_emitting_epilogues(epi):
+    _, x, w, scale, bias, act = _mk(seed=4)
+    kw = dict(fmt="int4", prologue="quant", **act, epilogue=epi,
+              out_d=jnp.float32(0.02), out_t=jnp.float32(1.0),
+              out_top=jnp.int32(127), out_pow=False)
+    want = fused_quant_matmul_xla(x, w, scale, bias, **kw)
+    got = fused_quant_matmul(x, w, scale, bias, interpret=True, **kw)
+    assert got.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fused_nonlinear_act_pow():
+    """t != 1 power-map quantization in the prologue."""
+    _, x, w, scale, bias, _ = _mk(seed=5)
+    act = dict(act_d=jnp.float32(0.05), act_t=jnp.float32(1.3),
+               act_top=jnp.int32(31), act_pow=True)
+    kw = dict(fmt="int4", prologue="quant", **act, out_dtype=jnp.float32)
+    want = fused_quant_matmul_xla(x, w, scale, bias, **kw)
+    got = fused_quant_matmul(x, w, scale, bias, interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_fused_unaligned_k_padding():
+    """K not a multiple of 256: zero padding must be a no-op, including for
+    LayerNorm statistics (real-K divisor)."""
+    rng = np.random.default_rng(6)
+    k = 40
+    x = jnp.array(rng.standard_normal((16, k)).astype(np.float32))
+    w_lv = rng.integers(-7, 8, (k, 32)).astype(np.int8)
+    w = pack_int4(jnp.array(w_lv), axis=0)
+    g = jnp.array(rng.standard_normal(k).astype(np.float32) * 0.1 + 1.0)
+    b = jnp.array(rng.standard_normal(k).astype(np.float32) * 0.1)
+    kw = dict(fmt="int4", prologue="ln_quant", ln_scale=g, ln_bias=b,
+              act_d=jnp.float32(0.05), act_t=jnp.float32(1.0),
+              act_top=jnp.int32(7), act_pow=False, out_dtype=jnp.float32)
+    want = fused_quant_matmul_xla(x, w, jnp.float32(0.01), None, **kw)
+    got = fused_quant_matmul(x, w, jnp.float32(0.01), None, interpret=True,
+                             **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_erf_poly_accuracy():
+    """The division/exp-free erf polynomial stays within 6e-5 of scipy's erf
+    (GELU error far below one quantization step)."""
+    from scipy.special import erf as serf
+
+    u = np.linspace(-8.0, 8.0, 100001).astype(np.float32)
+    mine = np.asarray(_erf_f32(jnp.array(u)))
+    np.testing.assert_allclose(mine, serf(u.astype(np.float64)), atol=6e-5)
+
+
+def test_attention_qkv_matches_xla_and_reference_math():
+    rng = np.random.default_rng(7)
+    b, n, heads, hd = 2, 32, 4, 16
+    n_valid = 27
+    qkv = jnp.array(
+        rng.standard_normal((b, n, 3 * heads * hd)).astype(np.float32))
+    kw = dict(heads=heads, sm_scale=hd**-0.5, n_valid=n_valid,
+              out_dtype=jnp.float32)
+    want = attention_qkv_xla(qkv, **kw)
+    got = attention_qkv(qkv, interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+    # against the straightforward per-head einsum on the REAL tokens
+    x = np.asarray(qkv)[:, :n_valid].reshape(b, n_valid, 3, heads, hd)
+    q, k, v = x[:, :, 0], x[:, :, 1], x[:, :, 2]
+    s = np.einsum("bnhd,bmhd->bhnm", q, k) * hd**-0.5
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    o = np.einsum("bhnm,bmhd->bnhd", p, v).reshape(b, n_valid, heads * hd)
+    np.testing.assert_allclose(np.asarray(got)[:, :n_valid], o,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_attention_qkv_quantized_output():
+    rng = np.random.default_rng(8)
+    b, n, heads, hd = 2, 16, 2, 8
+    qkv = jnp.array(
+        rng.standard_normal((b, n, 3 * heads * hd)).astype(np.float32))
+    kw = dict(heads=heads, sm_scale=hd**-0.5, n_valid=n,
+              out_d=jnp.float32(0.01), out_t=jnp.float32(1.0),
+              out_top=jnp.int32(127), out_pow=False)
+    want = attention_qkv_xla(qkv, **kw)
+    got = attention_qkv(qkv, interpret=True, **kw)
+    assert got.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fused_rejects_bad_args():
+    _, x, w, scale, bias, act = _mk()
+    with pytest.raises(ValueError):
+        fused_quant_matmul(x, w, scale, fmt="int4", prologue="ln_quant",
+                           **act, interpret=True)
+    with pytest.raises(TypeError):
+        fused_quant_matmul(x, w, scale, fmt="int4", prologue=None,
+                           interpret=True)
+    with pytest.raises(ValueError):
+        fused_quant_matmul(x, w, scale, fmt="int4", prologue="quant", **act,
+                           epilogue="residual", interpret=True)
