@@ -15,7 +15,8 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 from ..models.ultranet import UltraNet
 from ..models.vit import ViTConfig, VisionTransformer
-from ..opt import GETA, GETAConfig, HESSO, HESSOConfig, NodeGroup
+from ..opt import (GETA, GETAConfig, HESSO, HESSOConfig, HESSOCRIC,
+                   HESSOCRICConfig, NodeGroup)
 from .builders import mark_unprunable, ultranet_node_groups, vit_node_groups
 from .costs import ultranet_cost_report, vit_cost_report
 
@@ -73,6 +74,13 @@ class OTO:
         self._optimizer = HESSO(self.node_groups, self.params, cfg)
         return self._optimizer
 
+    def hesso_cric(self, **kwargs) -> HESSOCRIC:
+        """Cyclic redundancy identification variant (hesso_cric.py:7-407);
+        pass the loss into ``step(params, grads, loss=...)``."""
+        cfg = HESSOCRICConfig(**kwargs)
+        self._optimizer = HESSOCRIC(self.node_groups, self.params, cfg)
+        return self._optimizer
+
     # ------------------------------------------------------------------
     # compression (__init__.py:361-398)
     # ------------------------------------------------------------------
@@ -124,6 +132,75 @@ class OTO:
     # ------------------------------------------------------------------
     # visualization (__init__.py:62-86)
     # ------------------------------------------------------------------
+
+    def cluster_node_groups(self, num_clusters: int = 1):
+        """Cluster prunable node groups by size (graph.py:1653-1684).
+
+        The reference runs sklearn KMeans on [num_groups, 1.0] feature rows;
+        here a tiny Lloyd's loop (the feature space is 1-D in practice) keeps
+        the dependency surface zero. Returns {cluster_id: [NodeGroup, ...]}.
+        """
+        import numpy as np
+
+        prunable = [g for g in self.node_groups
+                    if g.is_prunable and not g.is_auxiliary]
+        if num_clusters <= 1 or len(prunable) <= num_clusters:
+            self.node_group_clusters = {0: list(prunable)}
+            return self.node_group_clusters
+
+        sizes = np.array([float(g.num_groups) for g in prunable])
+        # deterministic init: evenly spaced quantiles
+        centers = np.quantile(sizes, np.linspace(0, 1, num_clusters))
+        for _ in range(50):
+            labels = np.argmin(np.abs(sizes[:, None] - centers[None, :]),
+                               axis=1)
+            new = np.array([
+                sizes[labels == c].mean() if (labels == c).any() else centers[c]
+                for c in range(num_clusters)])
+            if np.allclose(new, centers):
+                break
+            centers = new
+        self.node_group_clusters = {}
+        for g, lab in zip(prunable, labels):
+            self.node_group_clusters.setdefault(int(lab), []).append(g)
+        return self.node_group_clusters
+
+    def random_set_zero_groups(self, params=None,
+                               target_group_sparsity: Optional[float] = None,
+                               num_group_divisible: int = 2, seed: int = 0):
+        """Randomly zero whole groups — the reference's sparsity-debugging
+        hook used to exercise construct_subnet without training
+        (graph.py:1165-1270). Returns a new params pytree."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        from ..opt.groups import Transform, get_path, group_mask_for_param, \
+            set_path
+
+        params = self.params if params is None else params
+        rng = np.random.default_rng(seed)
+        for g in self.node_groups:
+            if not g.is_prunable or g.is_auxiliary:
+                continue
+            gs = (rng.random() if target_group_sparsity is None
+                  else target_group_sparsity)
+            assert 0.0 <= gs < 1.0
+            n_zero = max(min(int(gs * g.num_groups) // num_group_divisible
+                             * num_group_divisible, g.num_groups - 1), 0)
+            if n_zero == 0:
+                continue
+            idx = np.sort(rng.choice(g.num_groups, n_zero, replace=False))
+            mask = np.zeros((g.num_groups,), np.float32)
+            mask[idx] = 1.0
+            mask = jnp.asarray(mask)
+            for e in g.entries:
+                if e.transform == Transform.NO_PRUNE:
+                    continue
+                p = get_path(params, e.path)
+                m = group_mask_for_param(mask, e.transform, p.shape,
+                                         g.num_heads)
+                params = set_path(params, e.path, p * (1.0 - m))
+        return params
 
     def visualize(self, out_path: Optional[str] = None) -> str:
         """Emit the node-group structure as Graphviz DOT text."""

@@ -18,6 +18,7 @@ from .groups import (
     set_path,
 )
 from .hesso import HESSO, HESSOConfig
+from .hesso_cric import HESSOCRIC, HESSOCRICConfig
 from .importance import DEFAULT_CRITERIA, combine_importance_scores
 
 __all__ = [
@@ -25,6 +26,8 @@ __all__ = [
     "GETAConfig",
     "HESSO",
     "HESSOConfig",
+    "HESSOCRIC",
+    "HESSOCRICConfig",
     "NodeGroup",
     "ParamEntry",
     "Transform",
