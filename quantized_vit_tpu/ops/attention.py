@@ -123,9 +123,55 @@ def flash_attention(
     )(*operands)
 
 
+def _dyn_int8(x):
+    """Dynamic symmetric per-tensor int8 quantization: returns (levels,
+    scale) with levels = round(x/scale) in [-127, 127]. Shared by the INT8
+    attention kernel and its XLA mirror (bit-identical)."""
+    x = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(x)), 1e-30) * (1.0 / 127.0)
+    lv = jnp.clip(jnp.round(x * (1.0 / scale)), -127.0, 127.0)
+    return lv.astype(jnp.int8), scale
+
+
+def _one_head_attention(q, k, v, sm_scale, n_valid, col, int_attention):
+    """softmax(q k^T * sm_scale) v for one head; with ``int_attention`` the
+    two matmuls run int8 x int8 -> int32 on the MXU with dynamic per-head
+    scales (BASELINE.json: INT kernels additionally cover the attention
+    score matmuls — the reference never quantizes them, SURVEY.md §3.4)."""
+    if int_attention:
+        q_lv, q_s = _dyn_int8(q)
+        k_lv, k_s = _dyn_int8(k)
+        s = jax.lax.dot_general(
+            q_lv, k_lv, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (q_s * k_s * sm_scale)
+    else:
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+    if col is not None:
+        s = jnp.where(col < n_valid, s, -1e30)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    if int_attention:
+        # p in [0,1]: fixed scale 1/127; v dynamically scaled
+        p_lv = jnp.round(p * 127.0).astype(jnp.int8)
+        v_lv, v_s = _dyn_int8(v)
+        return jax.lax.dot_general(
+            p_lv, v_lv, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (v_s / 127.0)
+    return jax.lax.dot_general(
+        p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _attn_qkv_kernel(x_ref, *rest, heads: int, head_dim: int,
                      sm_scale: float, n_valid: int, quantize: bool,
-                     out_pow: bool):
+                     out_pow: bool, int_attention: bool):
     """Per-batch program over the RAW fused-qkv matmul output layout
     [N, (3, H, hd)] — head slices are static lane slices, so no HBM
     transpose of the [M, 3D] qkv tensor is ever materialized."""
@@ -143,20 +189,8 @@ def _attn_qkv_kernel(x_ref, *rest, heads: int, head_dim: int,
         q = x[:, h * head_dim:(h + 1) * head_dim]
         k = x[:, hdim + h * head_dim:hdim + (h + 1) * head_dim]
         v = x[:, 2 * hdim + h * head_dim:2 * hdim + (h + 1) * head_dim]
-        s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * sm_scale
-        if col is not None:
-            s = jnp.where(col < n_valid, s, -1e30)
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(
-            p.astype(v.dtype), v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        o = _one_head_attention(q, k, v, sm_scale, n_valid, col,
+                                int_attention)
         if quantize:
             o_ref[0, :, h * head_dim:(h + 1) * head_dim] = _quantize_f32(
                 o, d_ref[0], t_ref[0], top_ref[0], out_pow)
@@ -167,7 +201,7 @@ def _attn_qkv_kernel(x_ref, *rest, heads: int, head_dim: int,
 @functools.partial(
     jax.jit,
     static_argnames=("heads", "sm_scale", "n_valid", "out_pow", "out_dtype",
-                     "interpret"),
+                     "int_attention", "interpret"),
 )
 def attention_qkv(
     qkv: jax.Array,
@@ -177,6 +211,7 @@ def attention_qkv(
     n_valid: int | None = None,
     out_d=None, out_t=None, out_top=None, out_pow: bool = False,
     out_dtype=jnp.bfloat16,
+    int_attention: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Multi-head attention straight off the fused-qkv projection output.
@@ -185,6 +220,11 @@ def attention_qkv(
     fused qkv Dense (vit_model.py:129). Returns [B, N, H*hd] — the proj
     layer's input layout — with no intermediate HBM transpose. With
     ``out_d/out_t/out_top`` the output is the proj layer's int8 levels.
+
+    ``int_attention``: run the score and AV matmuls as int8 x int8 MXU dots
+    with dynamic per-head scales (softmax stays f32). This changes numerics
+    (the fake-quant reference keeps attention float); expect ~1e-2 relative
+    deviation from the float path.
     """
     b, n, three_hdim = qkv.shape
     head_dim = three_hdim // (3 * heads)
@@ -207,7 +247,7 @@ def attention_qkv(
         functools.partial(
             _attn_qkv_kernel, heads=heads, head_dim=head_dim,
             sm_scale=sm_scale, n_valid=n_valid, quantize=quantize,
-            out_pow=out_pow),
+            out_pow=out_pow, int_attention=int_attention),
         grid=(b,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, n, heads * head_dim), lambda i: (i, 0, 0),
@@ -228,22 +268,44 @@ def attention_qkv(
 
 def attention_qkv_xla(qkv, *, heads, sm_scale, n_valid=None,
                       out_d=None, out_t=None, out_top=None, out_pow=False,
-                      out_dtype=jnp.bfloat16):
-    """Pure-XLA mirror of :func:`attention_qkv` (same f32 semantics)."""
+                      out_dtype=jnp.bfloat16, int_attention=False):
+    """Pure-XLA mirror of :func:`attention_qkv` (same f32 / dynamic-int8
+    semantics, vectorized over (batch, head))."""
     b, n, three_hdim = qkv.shape
     head_dim = three_hdim // (3 * heads)
     x = qkv.reshape(b, n, 3, heads, head_dim)
     q, k, v = x[:, :, 0], x[:, :, 1], x[:, :, 2]  # [B, N, H, hd]
-    s = jnp.einsum("bnhd,bmhd->bhnm", q, k,
-                   preferred_element_type=jnp.float32) * sm_scale
+    if int_attention:
+        def dyn(z):  # per-(b, h) scale over the (n, hd) axes
+            z = z.astype(jnp.float32)
+            s = jnp.maximum(jnp.max(jnp.abs(z), axis=(1, 3), keepdims=True),
+                            1e-30) * (1.0 / 127.0)
+            lv = jnp.clip(jnp.round(z * (1.0 / s)), -127.0, 127.0)
+            return lv.astype(jnp.int8), s
+        q_lv, q_s = dyn(q)
+        k_lv, k_s = dyn(k)
+        s = jnp.einsum("bnhd,bmhd->bhnm", q_lv, k_lv,
+                       preferred_element_type=jnp.int32).astype(jnp.float32)
+        s = s * (jnp.transpose(q_s, (0, 2, 1, 3))
+                 * jnp.transpose(k_s, (0, 2, 1, 3)) * sm_scale)
+    else:
+        s = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                       preferred_element_type=jnp.float32) * sm_scale
     if n_valid is not None and n_valid < n:
         col = jnp.arange(n)
         s = jnp.where(col[None, None, None, :] < n_valid, s, -1e30)
     s = s - jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
-    o = jnp.einsum("bhnm,bmhd->bnhd", p.astype(qkv.dtype), v,
-                   preferred_element_type=jnp.float32)
+    if int_attention:
+        p_lv = jnp.round(p * 127.0).astype(jnp.int8)
+        v_lv, v_s = dyn(v)
+        o = jnp.einsum("bhnm,bmhd->bnhd", p_lv, v_lv,
+                       preferred_element_type=jnp.int32).astype(jnp.float32)
+        o = o * (v_s / 127.0)
+    else:
+        o = jnp.einsum("bhnm,bmhd->bnhd", p.astype(qkv.dtype), v,
+                       preferred_element_type=jnp.float32)
     o = o.reshape(b, n, heads * head_dim)
     if out_d is not None:
         return _quantize_f32(o, jnp.asarray(out_d, jnp.float32),

@@ -163,10 +163,11 @@ def _round_up(a: int, b: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "use_pallas", "float_dtype")
+    jax.jit,
+    static_argnames=("cfg", "use_pallas", "float_dtype", "int_attention"),
 )
 def vit_int4_forward(art, images, cfg: ViTConfig, use_pallas: bool = True,
-                     float_dtype=jnp.float32):
+                     float_dtype=jnp.float32, int_attention: bool = False):
     """Quantized ViT forward on integer weights. images: [B, H, W, 3] f32.
 
     Fully fused serving pipeline (per transformer block, 5 kernels and no
@@ -231,6 +232,7 @@ def vit_int4_forward(art, images, cfg: ViTConfig, use_pallas: bool = True,
             heads=heads_i, sm_scale=sm_scale, n_valid=n_real,
             out_d=proj_e.act["d"], out_t=proj_e.act["t"],
             out_top=proj_e.act["top"], out_pow=proj_e.act_pow,
+            int_attention=int_attention,
         )
         x2d = _qmatmul(
             alv.reshape(b * n_pad, heads_i * hd), proj_e, use_pallas,
