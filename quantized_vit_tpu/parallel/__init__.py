@@ -1,4 +1,4 @@
-"""Mesh construction and GSPMD partition rules (DP x TP)."""
+"""Mesh construction, GSPMD partition rules (DP x TP), pipeline (PP)."""
 
 from .partition import (
     create_mesh,
@@ -8,6 +8,12 @@ from .partition import (
     shard_params,
     data_sharding,
 )
+from .pipeline import (
+    gpipe_blocks,
+    stack_block_params,
+    unstack_block_params,
+    vit_pipeline_forward,
+)
 
 __all__ = [
     "create_mesh",
@@ -16,4 +22,8 @@ __all__ = [
     "partition_specs",
     "shard_params",
     "data_sharding",
+    "gpipe_blocks",
+    "stack_block_params",
+    "unstack_block_params",
+    "vit_pipeline_forward",
 ]
