@@ -59,6 +59,10 @@ def parse_args(argv=None):
     # misc
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--out-dir", default="runs/train")
+    p.add_argument("--no-tensorboard", action="store_true",
+                   help="disable TensorBoard event files (JSONL still kept)")
+    p.add_argument("--profile-epoch", type=int, default=-1,
+                   help="capture a jax.profiler device trace of this epoch")
     p.add_argument("--save-freq", type=int, default=0,
                    help="save a resumable checkpoint every N epochs (0=off)")
     p.add_argument("--resume", default="",
@@ -163,13 +167,20 @@ def main(argv=None):
     def eval_apply(p, x):
         return model.apply({"params": p}, x, deterministic=True)
 
+    from ..utils.logging import MetricsWriter, profile_trace
+
+    writer = MetricsWriter(os.path.join(args.out_dir, "tb"),
+                           use_tensorboard=not args.no_tensorboard)
     history = []
     best_top1 = -1.0
     rng = jax.random.PRNGKey(args.seed)
     for epoch in range(args.epochs):
         opt.set_lr(cosine_lr(epoch, args.epochs, args.lr, args.lrf))
         rng, erng = jax.random.split(rng)
-        params, tm = loop.train_one_epoch(params, train_loader, epoch, erng)
+        with profile_trace(os.path.join(args.out_dir, "profile"),
+                           enabled=epoch == args.profile_epoch):
+            params, tm = loop.train_one_epoch(params, train_loader, epoch,
+                                              erng)
         em = evaluate(eval_apply, params, val_loader)
         sm = opt.compute_metrics(params)
         avg_bits = oto.compute_average_bit_width(params)
@@ -178,6 +189,9 @@ def main(argv=None):
                "group_sparsity": sm["group_sparsity"],
                "avg_wt_bit": avg_bits}
         history.append(rec)
+        # train.py:504-515 scalars
+        writer.add_scalars(rec, step=epoch)
+        writer.flush()
         print(f"[epoch {epoch}] loss {tm['loss']:.4f} acc {tm['acc']:.3f} "
               f"val_top1 {em['top1']:.3f} sparsity "
               f"{sm['group_sparsity']:.3f} avg_bits {avg_bits:.2f}")
@@ -224,6 +238,7 @@ def main(argv=None):
     with open(os.path.join(args.out_dir, "history.json"), "w") as f:
         json.dump({"history": history, "full": full, "compressed": comp,
                    "best_top1": best_top1}, f, indent=1)
+    writer.close()
     return history
 
 
