@@ -123,6 +123,86 @@ def construct_subnet_vit(
 
 
 # ---------------------------------------------------------------------------
+# ResNet (residual CNN)
+# ---------------------------------------------------------------------------
+
+
+def _slice_bn(tree, bn: str, idx: np.ndarray):
+    for nm in ("scale", "bias", "mean", "var"):
+        if tree is not None and has_path(tree, f"{bn}/{nm}"):
+            tree = set_path(tree, f"{bn}/{nm}",
+                            _take(get_path(tree, f"{bn}/{nm}"), idx, 0))
+    return tree
+
+
+def construct_subnet_resnet(
+    cfg,
+    params,
+    groups: Sequence[NodeGroup],
+    batch_stats: Optional[Any] = None,
+):
+    """Slice a group-sparse ResNet into a dense subnet.
+
+    In-dim links (the declarative version of pruning_compression.py's
+    pass-2 DFS): conv2.in <- block's conv1 group; conv1.in/down_conv.in of
+    a stage's first block <- previous stage's stream (or stage-0's own
+    stream, which contains the stem); conv1.in of later blocks <- own
+    stream; head.in <- last stream. BN running stats (batch_stats
+    collection) slice with their conv's out-dim.
+    """
+    by_id = {g.id: g for g in groups}
+
+    def kept(gid, full):
+        g = by_id.get(gid)
+        if g is not None and g.is_prunable:
+            return kept_groups(g, params)
+        return np.arange(full)
+
+    stream_kept = [kept(f"stream_{s}", w) for s, w in enumerate(cfg.widths)]
+    new_widths = tuple(len(k) for k in stream_kept)
+    inner: List[List[int]] = []
+
+    # stem: out <- stream_0
+    params = _slice_layer_out(params, "stem_conv", stream_kept[0])
+    params = _slice_bn(params, "stem_bn", stream_kept[0])
+    batch_stats = _slice_bn(batch_stats, "stem_bn", stream_kept[0])
+
+    for s, n_blocks in enumerate(cfg.stage_sizes):
+        inner.append([])
+        in_stream = stream_kept[s - 1] if s > 0 else stream_kept[0]
+        for b in range(n_blocks):
+            blk = f"stage{s}_block{b}"
+            blk_in = in_stream if b == 0 else stream_kept[s]
+            kept_inner = kept(blk, cfg.block_inner(s, b))
+            inner[-1].append(len(kept_inner))
+            params = _slice_layer_in(params, f"{blk}/conv1", blk_in)
+            params = _slice_layer_out(params, f"{blk}/conv1", kept_inner)
+            params = _slice_bn(params, f"{blk}/bn1", kept_inner)
+            batch_stats = _slice_bn(batch_stats, f"{blk}/bn1", kept_inner)
+            params = _slice_layer_in(params, f"{blk}/conv2", kept_inner)
+            params = _slice_layer_out(params, f"{blk}/conv2", stream_kept[s])
+            params = _slice_bn(params, f"{blk}/bn2", stream_kept[s])
+            batch_stats = _slice_bn(batch_stats, f"{blk}/bn2", stream_kept[s])
+            if has_path(params, f"{blk}/down_conv/kernel"):
+                params = _slice_layer_in(params, f"{blk}/down_conv", blk_in)
+                params = _slice_layer_out(params, f"{blk}/down_conv",
+                                          stream_kept[s])
+                params = _slice_bn(params, f"{blk}/down_bn", stream_kept[s])
+                batch_stats = _slice_bn(batch_stats, f"{blk}/down_bn",
+                                        stream_kept[s])
+
+    params = _slice_layer_in(params, "head", stream_kept[-1])
+
+    new_cfg = dataclasses.replace(
+        cfg,
+        widths=new_widths,
+        stem_width=new_widths[0],
+        inner_widths=tuple(tuple(x) for x in inner),
+    )
+    return new_cfg, params, batch_stats
+
+
+# ---------------------------------------------------------------------------
 # UltraNet
 # ---------------------------------------------------------------------------
 

@@ -155,6 +155,57 @@ def ultranet_node_groups(params, batch_stats=None) -> List[NodeGroup]:
     return groups
 
 
+def resnet_node_groups(cfg, params) -> List[NodeGroup]:
+    """Node groups for the residual CNN family (models/resnet.py).
+
+    Mirrors what the reference's pzig partition computes on a torchvision
+    ResNet (pruning_dependency.py steps 1-4): the residual ADDITIONS of one
+    stage form a connected component, so every conv feeding a skip sum —
+    conv2 of each block, the stage's 1x1 downsample conv, and (for the first
+    stage) the stem conv — shares ONE pruning decision per stage
+    ("stream_{s}" groups). Each block's conv1 prunes independently
+    ("stage{s}_block{b}" groups), with conv2's in-dim following at
+    compression time. BN scale/bias ride as ACCESSORY (BatchNormOTO,
+    operator.py:352-384); quant scalars as NO_PRUNE. The head is adjacent
+    to the model output -> unprunable (pruning_dependency.py:395-400).
+    """
+    groups: List[NodeGroup] = []
+    for s, (n_blocks, width) in enumerate(zip(cfg.stage_sizes, cfg.widths)):
+        stream_entries: List[ParamEntry] = []
+        if s == 0:
+            stream_entries += _layer_entries(params, "stem_conv",
+                                             Transform.OUT)
+            stream_entries += _ln_entries(params, "stem_bn")
+        for b in range(n_blocks):
+            blk = f"stage{s}_block{b}"
+            groups.append(NodeGroup(
+                id=blk,
+                entries=(_layer_entries(params, f"{blk}/conv1",
+                                        Transform.OUT)
+                         + _ln_entries(params, f"{blk}/bn1")),
+                num_groups=cfg.block_inner(s, b),
+                is_prunable=True,
+            ))
+            stream_entries += _layer_entries(params, f"{blk}/conv2",
+                                             Transform.OUT)
+            stream_entries += _ln_entries(params, f"{blk}/bn2")
+            if has_path(params, f"{blk}/down_conv/kernel"):
+                stream_entries += _layer_entries(params, f"{blk}/down_conv",
+                                                 Transform.OUT)
+                stream_entries += _ln_entries(params, f"{blk}/down_bn")
+        groups.append(NodeGroup(
+            id=f"stream_{s}", entries=stream_entries,
+            num_groups=width, is_prunable=True,
+        ))
+    groups.append(NodeGroup(
+        id="head",
+        entries=_layer_entries(params, "head", Transform.OUT),
+        num_groups=cfg.num_classes,
+        is_prunable=False,  # adjacent to output
+    ))
+    return groups
+
+
 def mark_unprunable(groups: List[NodeGroup], param_names: List[str]
                     ) -> List[NodeGroup]:
     """Disable pruning for any group containing one of the given param paths

@@ -124,6 +124,40 @@ def vit_cost_report(cfg: ViTConfig, params) -> Dict[str, Any]:
     return _finish(report, params)
 
 
+def resnet_cost_report(cfg, params,
+                       img_hw: Tuple[int, int] = (32, 32)) -> Dict[str, Any]:
+    """Per-sample MACs/BOPs for a (possibly pruned) ResNet params tree
+    (conv MAC formula: operator.py:274-288)."""
+    report = {"per_layer": {}, "total_macs": 0.0, "total_bops": 0.0,
+              "quantized_weight_bits": 0.0}
+    h, w = img_hw
+
+    def conv(name, h, w, stride=1):
+        if not has_path(params, f"{name}/kernel"):
+            return h, w
+        k = get_path(params, f"{name}/kernel")
+        kh, kw, cin, cout = k.shape
+        ho, wo = h // stride, w // stride
+        macs = ho * wo * kh * kw * cin * cout
+        _accumulate(report, name, float(macs),
+                    *_layer_bits(params, name), int(np.prod(k.shape)))
+        return ho, wo
+
+    h, w = conv("stem_conv", h, w)
+    for s, n_blocks in enumerate(cfg.stage_sizes):
+        for b in range(n_blocks):
+            blk = f"stage{s}_block{b}"
+            stride = 2 if (s > 0 and b == 0) else 1
+            conv(f"{blk}/down_conv", h, w, stride)
+            h2, w2 = conv(f"{blk}/conv1", h, w, stride)
+            conv(f"{blk}/conv2", h2, w2, 1)
+            h, w = h2, w2
+    kk = get_path(params, "head/kernel")
+    _accumulate(report, "head", float(kk.shape[0] * kk.shape[1]),
+                *_layer_bits(params, "head"), int(np.prod(kk.shape)))
+    return _finish(report, params)
+
+
 def ultranet_cost_report(params, img_hw: Tuple[int, int] = (160, 320),
                          w_bit: int = 4, a_bit: int = 4) -> Dict[str, Any]:
     """Per-sample MACs/BOPs for (possibly pruned) UltraNet.

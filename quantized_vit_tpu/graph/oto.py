@@ -13,12 +13,14 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
+from ..models.resnet import ResNet
 from ..models.ultranet import UltraNet
 from ..models.vit import ViTConfig, VisionTransformer
 from ..opt import (GETA, GETAConfig, HESSO, HESSOConfig, HESSOCRIC,
                    HESSOCRICConfig, NodeGroup)
-from .builders import mark_unprunable, ultranet_node_groups, vit_node_groups
-from .costs import ultranet_cost_report, vit_cost_report
+from .builders import (mark_unprunable, resnet_node_groups,
+                       ultranet_node_groups, vit_node_groups)
+from .costs import resnet_cost_report, ultranet_cost_report, vit_cost_report
 
 
 class OTO:
@@ -46,6 +48,10 @@ class OTO:
             self.kind = "ultranet"
             self.cfg = None
             self.node_groups = ultranet_node_groups(params)
+        elif isinstance(model, ResNet):
+            self.kind = "resnet"
+            self.cfg = model.cfg
+            self.node_groups = resnet_node_groups(self.cfg, params)
         else:
             raise ValueError(
                 f"no node-group builder registered for {type(model).__name__};"
@@ -89,13 +95,20 @@ class OTO:
         """Slice the group-sparse net into a dense subnet. Returns
         (new_model, new_params) for ViT and
         (new_model, new_params, new_batch_stats) for UltraNet."""
-        from ..compress import construct_subnet_ultranet, construct_subnet_vit
+        from ..compress import (construct_subnet_resnet,
+                                construct_subnet_ultranet,
+                                construct_subnet_vit)
 
         params = self.params if params is None else params
         if self.kind == "vit":
             new_cfg, new_params = construct_subnet_vit(
                 self.cfg, params, self.node_groups)
             return VisionTransformer(new_cfg), new_params
+        if self.kind == "resnet":
+            new_cfg, new_params, new_stats = construct_subnet_resnet(
+                self.cfg, params, self.node_groups,
+                batch_stats if batch_stats is not None else self.batch_stats)
+            return ResNet(new_cfg), new_params, new_stats
         channels, new_params, new_stats = construct_subnet_ultranet(
             params, self.node_groups,
             batch_stats if batch_stats is not None else self.batch_stats)
@@ -111,6 +124,8 @@ class OTO:
         params = self.params if params is None else params
         if self.kind == "vit":
             return vit_cost_report(self.cfg, params)
+        if self.kind == "resnet":
+            return resnet_cost_report(self.cfg, params)
         return ultranet_cost_report(params)
 
     def compute_macs(self, params=None) -> float:

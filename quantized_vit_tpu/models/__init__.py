@@ -1,4 +1,4 @@
-"""Model zoo: quantized flax layers, ViT family, UltraNet."""
+"""Model zoo: quantized flax layers, ViT family, UltraNet, ResNet."""
 
 from .layers import (
     QuantConfig,
@@ -29,6 +29,12 @@ from .ultranet import (
     ULTRANET_LAYERS,
     ULTRANET_ANCHORS,
 )
+from .resnet import (
+    ResNet,
+    ResNetConfig,
+    resnet8,
+    resnet20,
+)
 
 __all__ = [
     "QuantConfig",
@@ -54,4 +60,8 @@ __all__ = [
     "yolo_decode",
     "ULTRANET_LAYERS",
     "ULTRANET_ANCHORS",
+    "ResNet",
+    "ResNetConfig",
+    "resnet8",
+    "resnet20",
 ]
