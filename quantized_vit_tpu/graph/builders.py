@@ -155,6 +155,18 @@ def ultranet_node_groups(params, batch_stats=None) -> List[NodeGroup]:
     return groups
 
 
+def lora_layer_entries(params, layer: str) -> List[ParamEntry]:
+    """Entries for a LoraDense layer (LoraLinearOTO, operator.py:521-560):
+    base kernel + lora_b prune out-rows together; lora_a is NO_PRUNE; bias
+    rides as ACCESSORY."""
+    out = [ParamEntry(f"{layer}/kernel", Transform.OUT),
+           ParamEntry(f"{layer}/lora_b", Transform.OUT),
+           ParamEntry(f"{layer}/lora_a", Transform.NO_PRUNE)]
+    if has_path(params, f"{layer}/bias"):
+        out.append(ParamEntry(f"{layer}/bias", Transform.ACCESSORY))
+    return out
+
+
 def resnet_node_groups(cfg, params) -> List[NodeGroup]:
     """Node groups for the residual CNN family (models/resnet.py).
 

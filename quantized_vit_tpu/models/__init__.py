@@ -35,6 +35,11 @@ from .resnet import (
     resnet8,
     resnet20,
 )
+from .lora import (
+    LoraDense,
+    lora_grad_mask,
+    merge_lora,
+)
 
 __all__ = [
     "QuantConfig",
@@ -64,4 +69,7 @@ __all__ = [
     "ResNetConfig",
     "resnet8",
     "resnet20",
+    "LoraDense",
+    "lora_grad_mask",
+    "merge_lora",
 ]

@@ -29,7 +29,13 @@ DEFAULT_CRITERIA: Dict[str, float] = {
 
 def _norms_and_inner(group: NodeGroup, params, grad_variant):
     """Shared reductions: (||p||², ||g||², <p,g>) per group row, plus total
-    group columns. Entries with NO_PRUNE are skipped throughout."""
+    group columns. Entries with NO_PRUNE are skipped throughout.
+
+    LoRA entries (path ending ``lora_b``): the frozen base weight carries no
+    gradient, so the gradient proxy is the low-rank product A @ B against
+    the BASE kernel (importance_score/taylor.py:43-107 lora variants);
+    magnitude still comes from lora_b itself.
+    """
     sq_p = jnp.zeros((group.num_groups,))
     sq_g = jnp.zeros((group.num_groups,))
     inner = jnp.zeros((group.num_groups,))
@@ -37,11 +43,22 @@ def _norms_and_inner(group: NodeGroup, params, grad_variant):
     for e in group.entries:
         if e.transform == Transform.NO_PRUNE:
             continue
-        p = group_matrix(get_path(params, e.path), e.transform,
-                         group.num_groups, group.num_heads)
-        p = p.astype(jnp.float32)
+        p_arr = get_path(params, e.path)
+        p = group_matrix(p_arr, e.transform, group.num_groups,
+                         group.num_heads).astype(jnp.float32)
         cols += p.shape[1]
         sq_p = sq_p + jnp.sum(jnp.square(p), axis=1)
+        if e.path.endswith("lora_b"):
+            layer = e.path.rsplit("/", 1)[0]
+            base = get_path(params, f"{layer}/kernel")
+            proxy = get_path(params, f"{layer}/lora_a") @ p_arr
+            bm = group_matrix(base, e.transform, group.num_groups,
+                              group.num_heads).astype(jnp.float32)
+            gm = group_matrix(proxy, e.transform, group.num_groups,
+                              group.num_heads).astype(jnp.float32)
+            sq_g = sq_g + jnp.sum(jnp.square(gm), axis=1)
+            inner = inner + jnp.sum(bm * gm, axis=1)
+            continue
         g = group_matrix(get_path(grad_variant, e.path), e.transform,
                          group.num_groups, group.num_heads)
         g = g.astype(jnp.float32)
