@@ -61,6 +61,32 @@ def build_model(args, quant):
     return VisionTransformer(cfg), cfg
 
 
+def load_params_any(path: str) -> Tuple:
+    """(params, step, extra) from either a native checkpoint prefix or a
+    reference PyTorch ``.pt``/``.pth`` file (interop.torch_import).
+
+    Torch payloads are auto-classified: ``layers.{i}.*`` keys mean the
+    UltraNet Sequential (mymodel.py:71-124) — its BN stats land in
+    ``extra['batch_stats']``; anything else converts as a ViT state dict
+    (plain or QAT-quantized).
+    """
+    if path.endswith((".pt", ".pth")):
+        from ..interop import (
+            load_torch_checkpoint,
+            ultranet_params_from_torch,
+            vit_params_from_torch,
+        )
+
+        sd = load_torch_checkpoint(path)
+        if any(k.startswith("layers.") for k in sd):
+            params, stats = ultranet_params_from_torch(sd)
+            return params, 0, {"batch_stats": stats}
+        return vit_params_from_torch(sd, strict=False), 0, {}
+    from ..opt.checkpoint import load_checkpoint
+
+    return load_checkpoint(path)
+
+
 def build_datasets(args) -> Tuple:
     """(train_ds, val_ds) per --dataset."""
     from ..utils import ArrayDataset, ImageFolderDataset, read_split_data

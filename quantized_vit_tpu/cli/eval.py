@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ._common import add_dataset_args, add_model_args, build_datasets, \
-    build_model, set_seed
+    build_model, load_params_any, set_seed
 
 
 def vit_config_from_dict(d: dict):
@@ -38,9 +38,8 @@ def load_model_for_eval(args):
     params, or a compressed subnet whose config rides in the meta."""
     from ..models.layers import QuantConfig
     from ..models.vit import VisionTransformer
-    from ..opt.checkpoint import load_checkpoint
 
-    params, _, extra = load_checkpoint(args.checkpoint)
+    params, _, extra = load_params_any(args.checkpoint)
     if "subnet" in extra:
         cfg = vit_config_from_dict(extra["subnet"])
         return VisionTransformer(cfg), params
@@ -53,7 +52,8 @@ def parse_args(argv=None):
     add_dataset_args(p)
     add_model_args(p)
     p.add_argument("--checkpoint", required=True,
-                   help="checkpoint path prefix (from cli.train)")
+                   help="checkpoint path prefix (from cli.train), or a "
+                        "reference PyTorch .pt/.pth file (auto-converted)")
     p.add_argument("--fp32", action="store_true",
                    help="evaluate without quantizers")
     p.add_argument("--results", default="",

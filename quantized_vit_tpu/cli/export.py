@@ -30,7 +30,8 @@ def parse_args(argv=None):
     pu = sub.add_parser("ultranet")
     pu.add_argument("--checkpoint", required=True,
                     help="checkpoint prefix with params+batch_stats "
-                         "(stats under key 'batch_stats' in extra)")
+                         "(stats under key 'batch_stats' in extra), or the "
+                         "reference ultranet_4w4a.pt (torch_export.py:12)")
     pu.add_argument("--out", required=True)
     pu.add_argument("--w-bit", type=int, default=4)
     pu.add_argument("--a-bit", type=int, default=4)
@@ -47,12 +48,12 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
-    from ..opt.checkpoint import load_checkpoint
+    from ._common import load_params_any
 
     if args.target == "ultranet":
         from ..artifact import UltraNetExportConfig, save_ultranet_artifact
 
-        params, _, extra = load_checkpoint(args.checkpoint)
+        params, _, extra = load_params_any(args.checkpoint)
         stats = extra.get("batch_stats")
         if stats is None:
             raise SystemExit(
@@ -69,7 +70,7 @@ def main(argv=None):
     from ..models.layers import QuantConfig
     from ..serve import export_vit_int4
 
-    params, _, extra = load_checkpoint(args.checkpoint)
+    params, _, extra = load_params_any(args.checkpoint)
     if "subnet" in extra:
         cfg = vit_config_from_dict(extra["subnet"])
     else:

@@ -132,3 +132,66 @@ def test_export_driver_ultranet(tmp_path):
     io_i, _ = UltraNetInt().apply({"params": int_params}, x_lv)
     assert np.isfinite(np.asarray(io_i)).all()
     assert meta["config"][0]["name"] == "conv_0"
+
+
+def test_eval_driver_on_torch_checkpoint(tmp_path):
+    """A reference-style torch .pt checkpoint evaluates directly
+    (interop auto-conversion in cli._common.load_params_any)."""
+    torch = pytest.importorskip("torch")
+    import flax
+    import jax
+    import jax.numpy as jnp
+
+    from quantized_vit_tpu.cli.eval import main
+    from quantized_vit_tpu.interop import vit_params_to_torch
+    from quantized_vit_tpu.models import QuantConfig, ViTConfig, \
+        VisionTransformer, init_quant_params_tree
+
+    cfg = ViTConfig(img_size=16, patch_size=16, embed_dim=64, depth=2,
+                    num_heads=2, num_classes=4,
+                    quant=QuantConfig(enabled=True))
+    model = VisionTransformer(cfg)
+    params = flax.core.unfreeze(model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3), jnp.float32)
+    )["params"])
+    params = init_quant_params_tree(params, init_bits=8.0)
+    sd = {k: torch.as_tensor(np.asarray(v))
+          for k, v in vit_params_to_torch(params).items()}
+    ckpt = tmp_path / "ref_style.pt"
+    torch.save({"model": sd, "optimizer": {}, "args": {}}, ckpt)
+
+    res = main(COMMON + ["--checkpoint", str(ckpt)])
+    assert 0.0 <= res["top1"] <= 1.0
+    assert res["samples"] > 0
+
+
+def test_export_driver_ultranet_torch_checkpoint(tmp_path):
+    """The reference's ultranet_4w4a.pt exports straight to the integer
+    artifact (the torch_export.py -> ultranet_param_gen.py flow in one)."""
+    torch = pytest.importorskip("torch")
+    import flax
+    import jax
+    import jax.numpy as jnp
+
+    from quantized_vit_tpu.artifact import load_ultranet_artifact
+    from quantized_vit_tpu.cli.export import main
+    from quantized_vit_tpu.interop import ultranet_params_to_torch
+    from quantized_vit_tpu.models import UltraNet, UltraNetInt
+
+    model = UltraNet()
+    x = jnp.asarray(np.random.default_rng(2).random(
+        (1, 32, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(1), x)
+    sd = ultranet_params_to_torch(
+        flax.core.unfreeze(variables["params"]),
+        flax.core.unfreeze(variables["batch_stats"]))
+    ckpt = tmp_path / "ultranet_4w4a.pt"
+    torch.save({k: torch.as_tensor(np.asarray(v)) for k, v in sd.items()},
+               ckpt)
+
+    art_dir = str(tmp_path / "ultra_art_torch")
+    main(["ultranet", "--checkpoint", str(ckpt), "--out", art_dir])
+    int_params, meta = load_ultranet_artifact(art_dir)
+    x_lv = jnp.round(jnp.clip(x, 0, 1) * 255).astype(jnp.int32)
+    io_i, _ = UltraNetInt().apply({"params": int_params}, x_lv)
+    assert np.isfinite(np.asarray(io_i)).all()
