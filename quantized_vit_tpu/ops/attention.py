@@ -133,40 +133,66 @@ def _dyn_int8(x):
     return lv.astype(jnp.int8), scale
 
 
-def _one_head_attention(q, k, v, sm_scale, n_valid, col, int_attention):
-    """softmax(q k^T * sm_scale) v for one head; with ``int_attention`` the
-    two matmuls run int8 x int8 -> int32 on the MXU with dynamic per-head
-    scales (BASELINE.json: INT kernels additionally cover the attention
-    score matmuls — the reference never quantizes them, SURVEY.md §3.4)."""
+def _n_keys(n: int, n_valid: int, itemsize: int) -> int:
+    """Key/value row count: padded query rows must attend over all real
+    tokens, but key rows beyond ``n_valid`` are masked anyway, so the k/v
+    slice stops at the next sublane boundary (16 rows bf16 / 8 rows f32).
+    With 197 tokens padded to 224 query rows this keeps the score matrix at
+    [224, 208] instead of [224, 224] — softmax is the VPU-bound part of the
+    kernel, so score-matrix elements are the direct cost."""
+    sub = 16 if itemsize == 2 else 8
+    return min(n, -(-n_valid // sub) * sub)
+
+
+def _score_one_head(q, k, sm_scale, int_attention):
+    """Score matmul for one head; sm_scale is pre-folded into q (an [n, hd]
+    multiply instead of an [n, n] one)."""
     if int_attention:
-        q_lv, q_s = _dyn_int8(q)
+        q_lv, q_s = _dyn_int8(q * sm_scale)
         k_lv, k_s = _dyn_int8(k)
-        s = jax.lax.dot_general(
+        return jax.lax.dot_general(
             q_lv, k_lv, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
-        ).astype(jnp.float32) * (q_s * k_s * sm_scale)
-    else:
-        s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * sm_scale
+        ).astype(jnp.float32) * (q_s * k_s)
+    return jax.lax.dot_general(
+        (q.astype(jnp.float32) * sm_scale).astype(q.dtype), k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _softmax_av(s, v, col, n_valid, int_attention):
+    """Masked softmax with DEFERRED normalization: the row-sum division runs
+    on the [n, hd] attention output instead of the [n, n] probability matrix
+    (3.25x fewer elements at ViT-B shapes). exp/max stay f32.
+
+    Measured alternatives that LOST on v5e (tools/exp_attn.py): row sums on
+    the MXU via a ones column in v (unaligned 65-lane concat/slice relayouts
+    cost more than the VPU reduction saves), transposed [keys, queries]
+    score layout (sublane reductions aren't cheaper), and approx-reciprocal
+    normalization (breaks bit-parity with the XLA mirror for ~2us)."""
     if col is not None:
         s = jnp.where(col < n_valid, s, -1e30)
     s = s - jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
     if int_attention:
-        # p in [0,1]: fixed scale 1/127; v dynamically scaled
+        # unnormalized p in [0, 1]: fixed scale 1/127; v dynamically scaled
         p_lv = jnp.round(p * 127.0).astype(jnp.int8)
         v_lv, v_s = _dyn_int8(v)
-        return jax.lax.dot_general(
+        o_un = jax.lax.dot_general(
             p_lv, v_lv, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32) * (v_s / 127.0)
-    return jax.lax.dot_general(
-        p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        p_sum = jnp.sum(p_lv.astype(jnp.float32), axis=-1,
+                        keepdims=True) * (1.0 / 127.0)
+    else:
+        pb = p.astype(v.dtype)
+        o_un = jax.lax.dot_general(
+            pb, v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        p_sum = jnp.sum(pb.astype(jnp.float32), axis=-1, keepdims=True)
+    return o_un / p_sum
 
 
 def _attn_qkv_kernel(x_ref, *rest, heads: int, head_dim: int,
@@ -174,23 +200,38 @@ def _attn_qkv_kernel(x_ref, *rest, heads: int, head_dim: int,
                      out_pow: bool, int_attention: bool):
     """Per-batch program over the RAW fused-qkv matmul output layout
     [N, (3, H, hd)] — head slices are static lane slices, so no HBM
-    transpose of the [M, 3D] qkv tensor is ever materialized."""
+    transpose of the [M, 3D] qkv tensor is ever materialized.
+
+    The head loop is software-pipelined: head h+1's score matmul (MXU) is
+    issued before head h's softmax (VPU) so the scheduler can overlap the
+    two units — the softmax is the serial bottleneck otherwise."""
     if quantize:
         d_ref, t_ref, top_ref, o_ref = rest
     else:
         (o_ref,) = rest
     x = x_ref[0]
     n = x.shape[0]
+    nk = _n_keys(n, n_valid, x.dtype.itemsize)
     hdim = heads * head_dim
     col = None
-    if n_valid < n:
-        col = jax.lax.broadcasted_iota(jnp.int32, (n, n), dimension=1)
-    for h in range(heads):
+    if n_valid < nk:
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, nk), dimension=1)
+
+    def qkv_h(h):
         q = x[:, h * head_dim:(h + 1) * head_dim]
-        k = x[:, hdim + h * head_dim:hdim + (h + 1) * head_dim]
-        v = x[:, 2 * hdim + h * head_dim:2 * hdim + (h + 1) * head_dim]
-        o = _one_head_attention(q, k, v, sm_scale, n_valid, col,
-                                int_attention)
+        k = x[:nk, hdim + h * head_dim:hdim + (h + 1) * head_dim]
+        v = x[:nk, 2 * hdim + h * head_dim:2 * hdim + (h + 1) * head_dim]
+        return q, k, v
+
+    q0, k0, v0 = qkv_h(0)
+    s_next = _score_one_head(q0, k0, sm_scale, int_attention)
+    v_cur = v0
+    for h in range(heads):
+        s_cur, v_use = s_next, v_cur
+        if h + 1 < heads:
+            q1, k1, v_cur = qkv_h(h + 1)
+            s_next = _score_one_head(q1, k1, sm_scale, int_attention)
+        o = _softmax_av(s_cur, v_use, col, n_valid, int_attention)
         if quantize:
             o_ref[0, :, h * head_dim:(h + 1) * head_dim] = _quantize_f32(
                 o, d_ref[0], t_ref[0], top_ref[0], out_pow)
@@ -273,8 +314,11 @@ def attention_qkv_xla(qkv, *, heads, sm_scale, n_valid=None,
     semantics, vectorized over (batch, head))."""
     b, n, three_hdim = qkv.shape
     head_dim = three_hdim // (3 * heads)
+    if n_valid is None:
+        n_valid = n
+    nk = _n_keys(n, n_valid, qkv.dtype.itemsize)
     x = qkv.reshape(b, n, 3, heads, head_dim)
-    q, k, v = x[:, :, 0], x[:, :, 1], x[:, :, 2]  # [B, N, H, hd]
+    q, k, v = x[:, :, 0], x[:, :nk, 1], x[:, :nk, 2]  # [B, N|nk, H, hd]
     if int_attention:
         def dyn(z):  # per-(b, h) scale over the (n, hd) axes
             z = z.astype(jnp.float32)
@@ -282,30 +326,34 @@ def attention_qkv_xla(qkv, *, heads, sm_scale, n_valid=None,
                             1e-30) * (1.0 / 127.0)
             lv = jnp.clip(jnp.round(z * (1.0 / s)), -127.0, 127.0)
             return lv.astype(jnp.int8), s
-        q_lv, q_s = dyn(q)
+        q_lv, q_s = dyn(q.astype(jnp.float32) * sm_scale)
         k_lv, k_s = dyn(k)
         s = jnp.einsum("bnhd,bmhd->bhnm", q_lv, k_lv,
                        preferred_element_type=jnp.int32).astype(jnp.float32)
         s = s * (jnp.transpose(q_s, (0, 2, 1, 3))
-                 * jnp.transpose(k_s, (0, 2, 1, 3)) * sm_scale)
+                 * jnp.transpose(k_s, (0, 2, 1, 3)))
     else:
-        s = jnp.einsum("bnhd,bmhd->bhnm", q, k,
-                       preferred_element_type=jnp.float32) * sm_scale
-    if n_valid is not None and n_valid < n:
-        col = jnp.arange(n)
+        qs = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
+        s = jnp.einsum("bnhd,bmhd->bhnm", qs, k,
+                       preferred_element_type=jnp.float32)
+    if n_valid < nk:
+        col = jnp.arange(nk)
         s = jnp.where(col[None, None, None, :] < n_valid, s, -1e30)
     s = s - jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
     if int_attention:
         p_lv = jnp.round(p * 127.0).astype(jnp.int8)
         v_lv, v_s = dyn(v)
         o = jnp.einsum("bhnm,bmhd->bnhd", p_lv, v_lv,
                        preferred_element_type=jnp.int32).astype(jnp.float32)
         o = o * (v_s / 127.0)
+        p_sum = jnp.sum(p_lv.astype(jnp.float32), axis=-1) * (1.0 / 127.0)
     else:
-        o = jnp.einsum("bhnm,bmhd->bnhd", p.astype(qkv.dtype), v,
+        pb = p.astype(qkv.dtype)
+        o = jnp.einsum("bhnm,bmhd->bnhd", pb, v,
                        preferred_element_type=jnp.float32)
+        p_sum = jnp.sum(pb.astype(jnp.float32), axis=-1)
+    o = o / jnp.transpose(p_sum, (0, 2, 1))[..., None]
     o = o.reshape(b, n, heads * head_dim)
     if out_d is not None:
         return _quantize_f32(o, jnp.asarray(out_d, jnp.float32),

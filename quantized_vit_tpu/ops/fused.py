@@ -83,16 +83,17 @@ def _layernorm_f32(x, gamma, beta, eps, k_real=None):
 
 
 # odd-polynomial erf: erf(v) ~= v * Q(v^2) on [-3, 3], clamped to +-1
-# outside (erf(3) = 1 - 2.2e-5). Least-squares fit on Chebyshev nodes; f32
-# max abs err 2e-5 (GELU err < 6e-5 — far below one int4/int8 quant step).
-# Division- and exp-free: ~12 VPU ops/element vs ~15 + exp + div for the
-# classic Abramowitz-Stegun form — the GELU epilogue runs serialized with
-# the MXU inside the kernel, so VPU ops/element is the direct cost.
+# outside (erf(3) = 1 - 2.2e-5). Least-squares fit on Chebyshev nodes; max
+# erf err 4.0e-4, max GELU err 6.7e-4 — far below half an int4/int8 quant
+# step (d/2 >= 1e-2 for any practical learned step size). Division- and
+# exp-free: the GELU epilogue runs serialized with the MXU inside the
+# kernel, so VPU ops/element is the direct cost — profiling the fc1 kernel
+# on v5e showed each extra coefficient costs ~1.7us at ViT-B batch-8
+# shapes, so the polynomial is kept as short as the error budget allows.
 _ERF_COEFS = (
-    1.1283599175e+00, -3.7593882588e-01, 1.1232775694e-01,
-    -2.6235395208e-02, 4.7904567555e-03, -6.7044305525e-04,
-    6.8676254719e-05, -4.7833020379e-06, 2.0007422656e-07,
-    -3.7614352195e-09,
+    1.1266230624e+00, -3.6713456519e-01, 9.9877804981e-02,
+    -1.8359797121e-02, 2.1096815574e-03, -1.3503004762e-04,
+    3.6447687423e-06,
 )
 
 
@@ -201,23 +202,35 @@ def _fused_kernel(*refs, fmt: str, k_half: int, k_real: int, prologue,
         o_ref[:] = out.astype(o_ref.dtype)
 
 
+# M-tile preference order, measured on v5e at ViT-B serving shapes (see
+# tools/sweep_fused.py): 896/448/224-row tiles ran the proj kernel at
+# 6.4-7.1us where 832/416/1664 (exact divisors of M=1664) ran 11-15us —
+# Mosaic lays out 7*2^k*32-row blocks better than 13*2^k*32 ones. The
+# serving path pads tokens to 224/image so M = B*224 divides these tiles
+# exactly and no per-call pad/slice glue is emitted.
+_BLOCK_M_CANDIDATES = (896, 448, 224, 128, 64, 32)
+
+
 def _pick_block_m(m: int, kp: int, n: int, x_bytes: int, out_bytes: int,
                   fmt: str, extra_bytes: int) -> int:
-    """Largest M tile (multiple of 32 rows) fitting the VMEM budget.
+    """Largest fast M tile (multiple of 32 rows) fitting the VMEM budget.
 
     Accounts double buffering of the streamed x/out/residual blocks, the
     resident weight stripe (+ unpack scratch for int4), AND the f32 stack
     intermediates Mosaic materializes inside the program (the f32 prologue
     view of x and the f32 dequant accumulator view of the output)."""
     w_bytes = kp * n // 2 + kp * n if fmt == "int4" else kp * n
-    bm = _round_up(m, 32)
-    while bm > 32:
+    cap = _round_up(m, 32)
+
+    def fits(bm: int) -> bool:
         stream = bm * kp * x_bytes + bm * n * out_bytes + bm * extra_bytes
         stack = bm * kp * 4 + bm * n * 4
-        if 2 * stream + stack + w_bytes <= _VMEM_BUDGET:
-            break
-        bm = _round_up(bm // 2, 32)
-    return bm
+        return 2 * stream + stack + w_bytes <= _VMEM_BUDGET
+
+    for bm in _BLOCK_M_CANDIDATES:
+        if bm <= cap and fits(bm):
+            return bm
+    return 32 if cap >= 32 else cap
 
 
 @functools.partial(

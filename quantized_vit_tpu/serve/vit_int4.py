@@ -207,7 +207,12 @@ def vit_int4_forward(art, images, cfg: ViTConfig, use_pallas: bool = True,
     x = jnp.concatenate([cls, x], axis=1) + art["pos_embed"].astype(float_dtype)
 
     n_real = cfg.num_tokens
-    n_pad = _round_up(n_real, 16)  # bf16 sublane tile; zero rows are inert
+    # 32-row padding (197 -> 224): int8 stream blocks are 32-sublane tiles,
+    # and M = B*224 divides the empirically fast 224/448/896-row M tiles
+    # (ops/fused.py:_BLOCK_M_CANDIDATES) so no per-kernel pad/slice glue is
+    # emitted. The attention kernel only scores keys up to
+    # round_up(n_valid, 16) rows, so the extra query padding costs ~0 there.
+    n_pad = _round_up(n_real, 32)
     if n_pad != n_real:
         x = jnp.pad(x, ((0, 0), (0, n_pad - n_real), (0, 0)))
     x2d = x.reshape(b * n_pad, dim)

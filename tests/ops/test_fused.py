@@ -135,13 +135,21 @@ def test_fused_unaligned_k_padding():
 
 
 def test_erf_poly_accuracy():
-    """The division/exp-free erf polynomial stays within 6e-5 of scipy's erf
-    (GELU error far below one quantization step)."""
+    """The division/exp-free erf polynomial stays within 4.1e-4 of scipy's
+    erf, i.e. GELU error <= |x|/2 * 4.1e-4 <= 6.7e-4 on the clamp domain —
+    far below half a quantization step (d/2 >= 1e-2 for practical learned
+    step sizes). The polynomial is deliberately short: each coefficient
+    costs ~1.7us of serialized VPU time in the fc1 GELU epilogue at ViT-B
+    serving shapes (ops/fused.py:_ERF_COEFS)."""
     from scipy.special import erf as serf
 
     u = np.linspace(-8.0, 8.0, 100001).astype(np.float32)
     mine = np.asarray(_erf_f32(jnp.array(u)))
-    np.testing.assert_allclose(mine, serf(u.astype(np.float64)), atol=6e-5)
+    np.testing.assert_allclose(mine, serf(u.astype(np.float64)), atol=4.1e-4)
+    # GELU composite error bound
+    gelu_mine = u * 0.5 * (1.0 + mine)
+    gelu_true = u * 0.5 * (1.0 + serf(u.astype(np.float64)))
+    np.testing.assert_allclose(gelu_mine, gelu_true, atol=7e-4)
 
 
 def test_attention_qkv_matches_xla_and_reference_math():
