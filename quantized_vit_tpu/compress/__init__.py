@@ -3,6 +3,7 @@ into dense compressed networks with new static shapes."""
 
 from .subnet import (
     construct_subnet_resnet,
+    construct_subnet_transformer,
     construct_subnet_ultranet,
     construct_subnet_vit,
     kept_groups,
@@ -11,6 +12,7 @@ from .subnet import (
 __all__ = [
     "construct_subnet_vit",
     "construct_subnet_resnet",
+    "construct_subnet_transformer",
     "construct_subnet_ultranet",
     "kept_groups",
 ]

@@ -245,3 +245,62 @@ def construct_subnet_ultranet(
                         _take(get_path(batch_stats, f"bn_{i}/{nm}"), idx, 0))
         prev_idx = idx
     return tuple(channels), params, batch_stats
+
+
+# ---------------------------------------------------------------------------
+# Separate-q/k/v Transformer encoder
+# ---------------------------------------------------------------------------
+
+
+def construct_subnet_transformer(
+    cfg,
+    params,
+    groups: Sequence[NodeGroup],
+):
+    """Physically slice a group-sparse TransformerEncoder (separate q/k/v).
+
+    Per block: q, k, v out rows all follow the SAME kept heads (HEADS
+    expansion — the reference's BaseMultiHeadAttentionOTO head-idx -> dim-idx
+    expansion, operator.py:920-950), proj's in-dim follows those heads, and
+    fc2's in-dim follows fc1's kept hidden units (the fc2<-fc1 link,
+    pruning_compression.py:227-241). Returns (new config, new params).
+    """
+    import dataclasses as _dc
+
+    by_id = {g.id: g for g in groups}
+    heads_pb: List[int] = []
+    hidden_pb: List[int] = []
+
+    for i in range(cfg.depth):
+        attn_g = by_id.get(f"blocks_{i}/attn")
+        if attn_g is not None and attn_g.is_prunable:
+            kept_h = kept_groups(attn_g, params)
+        else:
+            kept_h = np.arange(cfg.num_heads)
+        heads_pb.append(len(kept_h))
+        for nm in ("q", "k", "v"):
+            layer = f"blocks_{i}/attn/{nm}"
+            out_dim = get_path(params, f"{layer}/kernel").shape[-1]
+            out_idx = kept_indices_for_axis(kept_h, Transform.HEADS,
+                                            out_dim, cfg.num_heads)
+            params = _slice_layer_out(params, layer, out_idx)
+        in_dim = get_path(params, f"blocks_{i}/attn/proj/kernel").shape[0]
+        in_idx = kept_indices_for_axis(kept_h, Transform.HEADS, in_dim,
+                                       cfg.num_heads)
+        params = _slice_layer_in(params, f"blocks_{i}/attn/proj", in_idx)
+
+        mlp_g = by_id.get(f"blocks_{i}/mlp")
+        if mlp_g is not None and mlp_g.is_prunable:
+            kept_m = kept_groups(mlp_g, params)
+        else:
+            kept_m = np.arange(int(cfg.embed_dim * cfg.mlp_ratio))
+        hidden_pb.append(len(kept_m))
+        params = _slice_layer_out(params, f"blocks_{i}/fc1", kept_m)
+        params = _slice_layer_in(params, f"blocks_{i}/fc2", kept_m)
+
+    new_cfg = _dc.replace(
+        cfg,
+        heads_per_block=tuple(heads_pb),
+        hidden_per_block=tuple(hidden_pb),
+    )
+    return new_cfg, params

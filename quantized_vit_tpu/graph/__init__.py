@@ -4,19 +4,23 @@ and the OTO facade (SURVEY.md §2.3 graph/ + §7 item 4)."""
 from .builders import (
     mark_unprunable,
     resnet_node_groups,
+    transformer_node_groups,
     ultranet_node_groups,
     vit_node_groups,
 )
-from .costs import resnet_cost_report, ultranet_cost_report, vit_cost_report
+from .costs import (resnet_cost_report, transformer_cost_report,
+                    ultranet_cost_report, vit_cost_report)
 from .oto import OTO
 
 __all__ = [
     "OTO",
     "vit_node_groups",
     "resnet_node_groups",
+    "transformer_node_groups",
     "ultranet_node_groups",
     "mark_unprunable",
     "vit_cost_report",
     "resnet_cost_report",
+    "transformer_cost_report",
     "ultranet_cost_report",
 ]

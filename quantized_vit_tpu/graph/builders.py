@@ -218,6 +218,69 @@ def resnet_node_groups(cfg, params) -> List[NodeGroup]:
     return groups
 
 
+def transformer_node_groups(cfg, params) -> List[NodeGroup]:
+    """Node groups for the separate-q/k/v TransformerEncoder family.
+
+    Mirrors what the reference's pzig partition computes for Bert/Llama-style
+    attention (BaseMultiHeadAttentionOTO, operator.py:810-975 and
+    BertAttention :1012-1130): one HEAD-granularity group per block spanning
+    the q, k, v projections TOGETHER (their out rows must keep the same
+    heads), with proj's in-dim following at compression time; an MLP hidden
+    group per block; the token embedding / position embedding / LayerNorms /
+    proj / fc2 outs form the residual stream (unprunable here, matching the
+    reference marking embeddings unprunable, pruning_dependency.py:388-424);
+    head adjacent to output -> unprunable. Embedding feature axis is LAST in
+    flax, so Transform.OUT replaces the torch TRANSPOSE (operator.py:677-706).
+    """
+    groups: List[NodeGroup] = []
+
+    stream: List[ParamEntry] = [
+        ParamEntry("embed/embedding", Transform.OUT),
+        ParamEntry("pos_embed", Transform.OUT),
+    ]
+    for i in range(cfg.depth):
+        stream += _ln_entries(params, f"blocks_{i}/norm1")
+        stream += _ln_entries(params, f"blocks_{i}/norm2")
+        stream += _layer_entries(params, f"blocks_{i}/attn/proj",
+                                 Transform.OUT)
+        stream += _layer_entries(params, f"blocks_{i}/fc2", Transform.OUT)
+    stream += _ln_entries(params, "norm")
+    groups.append(NodeGroup(
+        id="residual_stream", entries=stream,
+        num_groups=cfg.embed_dim, is_prunable=False,
+    ))
+
+    for i in range(cfg.depth):
+        entries: List[ParamEntry] = []
+        for nm in ("q", "k", "v"):
+            layer = f"blocks_{i}/attn/{nm}"
+            entries.append(ParamEntry(f"{layer}/kernel", Transform.HEADS))
+            if has_path(params, f"{layer}/bias"):
+                entries.append(ParamEntry(f"{layer}/bias", Transform.HEADS))
+            for q in _QUANT_NAMES:
+                if has_path(params, f"{layer}/{q}"):
+                    entries.append(ParamEntry(f"{layer}/{q}",
+                                              Transform.NO_PRUNE))
+        groups.append(NodeGroup(
+            id=f"blocks_{i}/attn", entries=entries,
+            num_groups=cfg.num_heads, num_heads=cfg.num_heads,
+            is_prunable=True,
+        ))
+        groups.append(NodeGroup(
+            id=f"blocks_{i}/mlp",
+            entries=_layer_entries(params, f"blocks_{i}/fc1", Transform.OUT),
+            num_groups=int(cfg.embed_dim * cfg.mlp_ratio),
+            is_prunable=True,
+        ))
+
+    if has_path(params, "head/kernel"):
+        groups.append(NodeGroup(
+            id="head", entries=_layer_entries(params, "head", Transform.OUT),
+            num_groups=cfg.num_classes, is_prunable=False,
+        ))
+    return groups
+
+
 def mark_unprunable(groups: List[NodeGroup], param_names: List[str]
                     ) -> List[NodeGroup]:
     """Disable pruning for any group containing one of the given param paths

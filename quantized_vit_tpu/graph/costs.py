@@ -179,3 +179,36 @@ def ultranet_cost_report(params, img_hw: Tuple[int, int] = (160, 320),
         if i < n and ULTRANET_LAYERS[i][2]:
             h, w = h // 2, w // 2
     return _finish(report, params)
+
+
+def transformer_cost_report(cfg, params,
+                            seq_len: Optional[int] = None) -> Dict[str, Any]:
+    """Per-sample MACs/BOPs for a (possibly pruned) separate-q/k/v
+    TransformerEncoder params tree (linear MAC formula operator.py:510-515;
+    embeddings cost no MACs, matching EmbeddingOTO which defines none)."""
+    report = {"per_layer": {}, "total_macs": 0.0, "total_bops": 0.0,
+              "quantized_weight_bits": 0.0}
+    tokens = seq_len if seq_len is not None else cfg.max_len
+
+    for i in range(cfg.depth):
+        names = [f"blocks_{i}/attn/{nm}" for nm in ("q", "k", "v")]
+        names += [f"blocks_{i}/attn/proj", f"blocks_{i}/fc1",
+                  f"blocks_{i}/fc2"]
+        for name in names:
+            kk = get_path(params, f"{name}/kernel")
+            fin, fout = kk.shape
+            macs = tokens * fin * fout
+            w_bit, a_bit = _layer_bits(params, name)
+            _accumulate(report, name, float(macs), w_bit, a_bit,
+                        int(np.prod(kk.shape)))
+        # score + AV einsums (float)
+        q_out = get_path(params, f"blocks_{i}/attn/q/kernel").shape[1]
+        att_macs = 2.0 * tokens * tokens * q_out
+        _accumulate(report, f"blocks_{i}/attn/einsum", att_macs,
+                    FLOAT_BITS, FLOAT_BITS, 0)
+
+    if has_path(params, "head"):
+        kk = get_path(params, "head/kernel")
+        _accumulate(report, "head", float(kk.shape[0] * kk.shape[1]),
+                    *_layer_bits(params, "head"), int(np.prod(kk.shape)))
+    return _finish(report, params)

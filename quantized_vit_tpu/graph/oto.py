@@ -14,13 +14,16 @@ import dataclasses
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 from ..models.resnet import ResNet
+from ..models.transformer import TransformerEncoder
 from ..models.ultranet import UltraNet
 from ..models.vit import ViTConfig, VisionTransformer
 from ..opt import (GETA, GETAConfig, HESSO, HESSOConfig, HESSOCRIC,
                    HESSOCRICConfig, NodeGroup)
 from .builders import (mark_unprunable, resnet_node_groups,
-                       ultranet_node_groups, vit_node_groups)
-from .costs import resnet_cost_report, ultranet_cost_report, vit_cost_report
+                       transformer_node_groups, ultranet_node_groups,
+                       vit_node_groups)
+from .costs import (resnet_cost_report, transformer_cost_report,
+                    ultranet_cost_report, vit_cost_report)
 
 
 class OTO:
@@ -52,6 +55,10 @@ class OTO:
             self.kind = "resnet"
             self.cfg = model.cfg
             self.node_groups = resnet_node_groups(self.cfg, params)
+        elif isinstance(model, TransformerEncoder):
+            self.kind = "transformer"
+            self.cfg = model.cfg
+            self.node_groups = transformer_node_groups(self.cfg, params)
         else:
             raise ValueError(
                 f"no node-group builder registered for {type(model).__name__};"
@@ -109,6 +116,12 @@ class OTO:
                 self.cfg, params, self.node_groups,
                 batch_stats if batch_stats is not None else self.batch_stats)
             return ResNet(new_cfg), new_params, new_stats
+        if self.kind == "transformer":
+            from ..compress import construct_subnet_transformer
+
+            new_cfg, new_params = construct_subnet_transformer(
+                self.cfg, params, self.node_groups)
+            return TransformerEncoder(new_cfg), new_params
         channels, new_params, new_stats = construct_subnet_ultranet(
             params, self.node_groups,
             batch_stats if batch_stats is not None else self.batch_stats)
@@ -126,6 +139,8 @@ class OTO:
             return vit_cost_report(self.cfg, params)
         if self.kind == "resnet":
             return resnet_cost_report(self.cfg, params)
+        if self.kind == "transformer":
+            return transformer_cost_report(self.cfg, params)
         return ultranet_cost_report(params)
 
     def compute_macs(self, params=None) -> float:

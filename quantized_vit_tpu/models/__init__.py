@@ -35,6 +35,13 @@ from .resnet import (
     resnet8,
     resnet20,
 )
+from .transformer import (
+    SeparateQKVAttention,
+    TransformerConfig,
+    TransformerEncoder,
+    transformer_encoder_base,
+    transformer_encoder_tiny,
+)
 from .lora import (
     LoraDense,
     lora_grad_mask,
@@ -69,6 +76,11 @@ __all__ = [
     "ResNetConfig",
     "resnet8",
     "resnet20",
+    "TransformerConfig",
+    "TransformerEncoder",
+    "SeparateQKVAttention",
+    "transformer_encoder_tiny",
+    "transformer_encoder_base",
     "LoraDense",
     "lora_grad_mask",
     "merge_lora",

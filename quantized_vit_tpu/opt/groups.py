@@ -159,9 +159,17 @@ def group_mask_for_param(mask: jax.Array, transform: Transform,
         reps = int(np.prod(param_shape)) // mask.shape[0]
         return jnp.repeat(mask, reps).reshape(param_shape)
     if transform == Transform.OUT:
-        return mask.reshape((1,) * (ndim - 1) + (param_shape[-1],))
+        # num_groups may be coarser than the axis (GroupNorm-style spread,
+        # the reference's MULTIHEAD_NUMHEAD_SPREAD overwrite in
+        # pruning_dependency.py:426-538): each group covers a contiguous run
+        # of axis_size/num_groups channels.
+        run = param_shape[-1] // mask.shape[0]
+        m = jnp.repeat(mask, run) if run > 1 else mask
+        return m.reshape((1,) * (ndim - 1) + (param_shape[-1],))
     if transform == Transform.IN:
-        return mask.reshape((param_shape[0],) + (1,) * (ndim - 1))
+        run = param_shape[0] // mask.shape[0]
+        m = jnp.repeat(mask, run) if run > 1 else mask
+        return m.reshape((param_shape[0],) + (1,) * (ndim - 1))
     if transform == Transform.QKV_HEADS:
         h = mask.shape[0]
         out = param_shape[-1]
@@ -178,14 +186,22 @@ def group_mask_for_param(mask: jax.Array, transform: Transform,
 
 
 def kept_indices_for_axis(kept_groups: np.ndarray, transform: Transform,
-                          axis_size: int, num_heads: int = 1) -> np.ndarray:
+                          axis_size: int, num_heads: int = 1,
+                          num_groups: Optional[int] = None) -> np.ndarray:
     """Map kept group indices -> kept indices along the pruned axis.
 
     The compression-side index expansion (index_transform.py:11-30 and
-    pruning_compression.py:296-316): head groups expand to head_dim runs.
+    pruning_compression.py:296-316): head groups expand to head_dim runs;
+    OUT/IN groups coarser than the axis (GroupNorm-style spread) expand to
+    contiguous axis_size/num_groups runs when ``num_groups`` is given.
     """
     kept_groups = np.asarray(kept_groups)
     if transform in (Transform.OUT, Transform.IN, Transform.ACCESSORY):
+        run = axis_size // num_groups if num_groups else 1
+        if run > 1:
+            return np.concatenate(
+                [g * run + np.arange(run) for g in kept_groups]
+            ) if len(kept_groups) else kept_groups
         return kept_groups
     if transform == Transform.QKV_HEADS:
         hd = axis_size // (3 * num_heads)

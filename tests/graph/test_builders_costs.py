@@ -153,3 +153,27 @@ def test_oto_rejects_unknown_model():
     p = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)))["params"]
     with pytest.raises(ValueError, match="no node-group builder"):
         OTO(m, p)
+
+
+def test_spread_runs_out_transform():
+    """GroupNorm-style spread: num_groups coarser than the axis — each group
+    covers a contiguous run (the reference's MULTIHEAD_NUMHEAD_SPREAD
+    overwrite, pruning_dependency.py:426-538)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from quantized_vit_tpu.opt.groups import (
+        Transform, group_matrix, group_mask_for_param, kept_indices_for_axis)
+
+    k = jnp.arange(3 * 3 * 4 * 8, dtype=jnp.float32).reshape(3, 3, 4, 8)
+    m = group_matrix(k, Transform.OUT, num_groups=4)  # 8 ch -> 4 GN groups
+    assert m.shape == (4, 2 * 3 * 3 * 4)
+
+    mask = jnp.array([1.0, 0.0, 0.0, 1.0])
+    pm = group_mask_for_param(mask, Transform.OUT, k.shape)
+    assert pm.shape == (1, 1, 1, 8)
+    np.testing.assert_array_equal(
+        np.asarray(pm[0, 0, 0]), [1, 1, 0, 0, 0, 0, 1, 1])
+
+    idx = kept_indices_for_axis(np.array([0, 3]), Transform.OUT, 8,
+                                num_groups=4)
+    np.testing.assert_array_equal(idx, [0, 1, 6, 7])

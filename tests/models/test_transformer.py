@@ -1,0 +1,138 @@
+"""Separate-q/k/v Transformer family: quant parity, pruning graph, subnet.
+
+Covers the reference operator rows this family exists to exercise:
+BertAttention/BaseMultiHeadAttentionOTO head pruning over three independent
+projections (operator.py:810-975, 1012-1130) and EmbeddingOTO membership of
+the residual stream (operator.py:677-706).
+"""
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantized_vit_tpu.graph import OTO, transformer_node_groups
+from quantized_vit_tpu.models import (
+    QuantConfig,
+    TransformerConfig,
+    TransformerEncoder,
+    init_quant_params_tree,
+)
+
+CFG = TransformerConfig(vocab_size=101, max_len=16, embed_dim=32, depth=2,
+                        num_heads=4, num_classes=3,
+                        quant=QuantConfig(enabled=True))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = TransformerEncoder(CFG)
+    rng = np.random.default_rng(0)
+    tokens = jnp.array(rng.integers(0, CFG.vocab_size, (2, 16)))
+    params = flax.core.unfreeze(
+        model.init(jax.random.PRNGKey(0), tokens)["params"])
+    return model, params, tokens
+
+
+def test_quantized_matches_fp32_at_high_bits(setup):
+    """conftest.py:5-20 idiom: weight-quantized model ~= float twin at high
+    init bit width (activation quant off — its init q_m is max|W|, far below
+    real activation ranges; same setup as the ViT parity test)."""
+    _, params, tokens = setup
+    import dataclasses
+    w_model = TransformerEncoder(dataclasses.replace(
+        CFG, quant=QuantConfig(enabled=True, quantize_acts=False)))
+    fp_model = TransformerEncoder(
+        dataclasses.replace(CFG, quant=QuantConfig.off()))
+    y_fp = fp_model.apply({"params": params}, tokens)
+    qparams = init_quant_params_tree(params, init_bits=32.0)
+    y_q = w_model.apply({"params": qparams}, tokens)
+    np.testing.assert_allclose(np.asarray(y_q), np.asarray(y_fp),
+                               rtol=1e-2, atol=1e-3)
+
+
+def test_attention_mask_changes_only_masked_tokens(setup):
+    model, params, tokens = setup
+    params = init_quant_params_tree(params, init_bits=16.0)
+    mask = jnp.ones((2, 16), jnp.int32).at[:, 10:].set(0)
+    y_full = model.apply({"params": params}, tokens)
+    y_mask = model.apply({"params": params}, tokens, attn_mask=mask)
+    assert not np.allclose(np.asarray(y_full), np.asarray(y_mask))
+    assert np.isfinite(np.asarray(y_mask)).all()
+
+
+def test_node_groups_structure(setup):
+    _, params, _ = setup
+    groups = transformer_node_groups(CFG, params)
+    by_id = {g.id: g for g in groups}
+    assert not by_id["residual_stream"].is_prunable
+    assert not by_id["head"].is_prunable
+    paths = [e.path for e in by_id["residual_stream"].entries]
+    assert "embed/embedding" in paths and "pos_embed" in paths
+    attn = by_id["blocks_0/attn"]
+    assert attn.num_groups == CFG.num_heads
+    kinds = {e.path.split("/")[-2] for e in attn.entries}
+    assert {"q", "k", "v"} <= kinds  # one decision spans all three
+
+
+def test_subnet_construction_head_and_hidden_pruning(setup):
+    model, params, tokens = setup
+    params = init_quant_params_tree(params, init_bits=8.0)
+    oto = OTO(model, params)
+    # zero heads {1, 3} of block 0 and hidden units [0:64] of block 1
+    sparse = oto.random_set_zero_groups(params, target_group_sparsity=0.5)
+    new_model, new_params = oto.construct_subnet(sparse)
+    cfg2 = new_model.cfg
+    assert cfg2.heads_per_block is not None
+    assert all(h <= CFG.num_heads for h in cfg2.heads_per_block)
+    assert any(h < CFG.num_heads for h in cfg2.heads_per_block)
+    # q/k/v widths agree with kept heads; proj in-dim follows
+    hd = CFG.embed_dim // CFG.num_heads
+    for i in range(CFG.depth):
+        h_i = cfg2.heads_per_block[i]
+        for nm in ("q", "k", "v"):
+            assert new_params[f"blocks_{i}"]["attn"][nm]["kernel"].shape[-1] \
+                == h_i * hd
+        assert new_params[f"blocks_{i}"]["attn"]["proj"]["kernel"].shape[0] \
+            == h_i * hd
+        assert new_params[f"blocks_{i}"]["fc1"]["kernel"].shape[-1] \
+            == cfg2.hidden_per_block[i]
+        assert new_params[f"blocks_{i}"]["fc2"]["kernel"].shape[0] \
+            == cfg2.hidden_per_block[i]
+    # compressed forward equals the sparse full forward (zero rows are inert)
+    y_sparse = model.apply({"params": sparse}, tokens)
+    y_new = new_model.apply({"params": new_params}, tokens)
+    np.testing.assert_allclose(np.asarray(y_new), np.asarray(y_sparse),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_geta_step_and_costs(setup):
+    model, params, tokens = setup
+    params = init_quant_params_tree(params, init_bits=8.0)
+    oto = OTO(model, params)
+    macs0 = oto.compute_macs(params)
+    assert macs0 > 0
+    opt = oto.geta(lr=1e-2, target_group_sparsity=0.5,
+                   start_projection_step=1, projection_steps=2,
+                   projection_periods=1, start_pruning_step=3,
+                   pruning_steps=2, pruning_periods=1)
+
+    def loss_fn(p):
+        logits = model.apply({"params": p}, tokens)
+        return jnp.mean(jnp.square(logits))
+
+    p = params
+    for _ in range(8):
+        grads = jax.grad(loss_fn)(p)
+        p = opt.step(p, opt.clip_grads(grads))
+    assert np.isfinite(float(loss_fn(p)))
+    # pruning fired: redundant groups (chosen globally across attn heads and
+    # mlp hidden units) decayed to zero, so the subnet is strictly smaller
+    new_model, new_params = oto.construct_subnet(p)
+    cfg2 = new_model.cfg
+    shrunk = (any(h < CFG.num_heads for h in cfg2.heads_per_block)
+              or any(m < int(CFG.embed_dim * CFG.mlp_ratio)
+                     for m in cfg2.hidden_per_block))
+    assert shrunk
+    assert oto.compute_macs(new_params) < macs0
