@@ -26,7 +26,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..quant.dorefa import quantize_activation, quantize_weight
+from ..quant.dorefa import (
+    fold_batchnorm,
+    fold_batchnorm_affine,
+    quantize_activation,
+    quantize_weight,
+)
 from ..quant.integer import requantize_int
 
 # (features, kernel, maxpool_after) per conv block (mymodel.py:71-124)
@@ -75,6 +80,100 @@ class DoReFaConv(nn.Module):
         if self.use_bias:
             y = y + self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         return y
+
+
+class DoReFaDense(nn.Module):
+    """Linear_Q (quant_ultra.py:210-222): Dense with DoReFa-quantized weight.
+
+    The activation is NOT quantized here (the reference composes
+    ``activation_quantize_fn`` separately) — only the kernel goes through
+    tanh -> normalize -> signed (w_bit-1)-bit levels each forward.
+    """
+
+    features: int
+    w_bit: int = W_BIT
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features),
+            jnp.float32,
+        )
+        y = jnp.dot(x, quantize_weight(kernel, self.w_bit))
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros,
+                               (self.features,), jnp.float32)
+        return y
+
+
+class DoReFaBatchNorm(nn.Module):
+    """BatchNorm2d_Q (quant_ultra.py:94-132): quantized folded BatchNorm.
+
+    The reference folds γ, β and the RUNNING statistics into a per-channel
+    affine (w, b), quantizes both to signed ``w_bit`` levels in [-1, 1], and
+    applies ``w_q * x + b_q`` — in training as well as eval, and without ever
+    updating the running stats (its F.batch_norm call uses zeroed mean /
+    unit var / eps 0 with training=False). Reproduced exactly: running
+    stats live read-only in the ``batch_stats`` collection (loaded from a
+    checkpoint or left at init), and the forward is the quantized affine.
+
+    Works on any NHWC-like layout — the channel axis is last.
+    """
+
+    w_bit: int = W_BIT
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((feat,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((feat,), jnp.float32))
+        w_q, b_q = fold_batchnorm(scale, bias, mean.value, var.value,
+                                  self.eps, self.w_bit)
+        return x * w_q + b_q
+
+
+class DoReFaBatchNorm1d(nn.Module):
+    """BatchNorm1d_Q (quant_ultra.py:135-207).
+
+    Reference quirk, reproduced faithfully: the forward computes the folded
+    (w, b) AND a quantized ``w_q = uniform_quantize(w)`` — but then passes
+    the UNQUANTIZED ``w, b`` to F.batch_norm (quant_ultra.py:196-207), so
+    the layer is effectively a folded-BN affine with no quantization.
+    In training mode F.batch_norm normalizes by the current batch statistics
+    (biased variance, zero mean / unit var buffers discarded); in eval mode
+    the fake stats make it exactly ``w * x + b``.
+    """
+
+    w_bit: int = W_BIT
+    eps: float = 1e-5
+    momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((feat,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((feat,), jnp.float32))
+        w, b = fold_batchnorm_affine(scale, bias, mean.value, var.value,
+                                     self.eps)
+        if train:
+            # batch-statistics normalization with eps=0 and the folded affine
+            axes = tuple(range(x.ndim - 1))
+            bm = jnp.mean(x, axis=axes)
+            bv = jnp.var(x, axis=axes)  # biased, as F.batch_norm uses
+            return (x - bm) * jax.lax.rsqrt(bv) * w + b
+        return x * w + b
 
 
 def yolo_decode(p, img_size, anchors=ULTRANET_ANCHORS, num_outputs=6):

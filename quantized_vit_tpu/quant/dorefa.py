@@ -80,17 +80,25 @@ def quantize_activation_levels(x: jax.Array, a_bit: int) -> jax.Array:
     return jnp.round(jnp.clip(x, 0.0, 1.0) * n).astype(jnp.int32)
 
 
+def fold_batchnorm_affine(gamma, beta, mean, var, eps):
+    """Fold BN(γ, β, μ, σ², ε) into the affine (w, b) with the reference's
+    exact (non-standard) ``γ/(sqrt(σ²)+ε)`` denominator
+    (quant_ultra.py:111-112 / :195-196): the BN computes ``w * x + b``."""
+    denom = jnp.sqrt(var) + eps
+    w = gamma / denom
+    b = beta - (mean / denom) * gamma
+    return w, b
+
+
 def fold_batchnorm(gamma, beta, mean, var, eps, w_bit: int):
     """Quantized-BN fold (quant_ultra.py:94-132): returns (w_q, b_q) such that
     the BN layer computes ``w_q * x + b_q``.
 
-    Uses the reference's exact denominator ``sqrt(var) + eps`` (NOT
-    ``sqrt(var + eps)``), then clamps both to [-1, 1], remaps to [0, 1],
-    quantizes with ``w_bit`` unsigned levels and maps back to [-1, 1].
+    Uses :func:`fold_batchnorm_affine`, then clamps both to [-1, 1], remaps
+    to [0, 1], quantizes with ``w_bit`` unsigned levels and maps back to
+    [-1, 1].
     """
-    denom = jnp.sqrt(var) + eps
-    w = gamma / denom
-    b = beta - (mean / denom) * gamma
+    w, b = fold_batchnorm_affine(gamma, beta, mean, var, eps)
     w01 = jnp.clip(w, -1.0, 1.0) / 2.0 + 0.5
     b01 = jnp.clip(b, -1.0, 1.0) / 2.0 + 0.5
     w_q = 2.0 * uniform_quantize(w01, w_bit) - 1.0
