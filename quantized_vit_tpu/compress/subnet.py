@@ -304,3 +304,71 @@ def construct_subnet_transformer(
         hidden_per_block=tuple(hidden_pb),
     )
     return new_cfg, params
+
+
+# ---------------------------------------------------------------------------
+# Conv autoencoder (ConvTranspose + GroupNorm spread)
+# ---------------------------------------------------------------------------
+
+
+def construct_subnet_autoencoder(
+    cfg,
+    params,
+    groups: Sequence[NodeGroup],
+):
+    """Physically slice a group-sparse ConvAutoencoder.
+
+    Channels drop in whole GroupNorm groups (the SPREAD expansion,
+    pruning_dependency.py:426-538): kept group indices expand to contiguous
+    channel runs via ``kept_indices_for_axis(..., num_groups=G)``. Each
+    layer's in-dim follows the previous layer in the encoder->decoder chain;
+    the 1x1 output conv (unprunable) only has its in-dim sliced. The
+    compressed config carries the surviving per-stage norm-group counts so
+    GroupNorm statistics stay bit-identical. Returns (new config, params).
+    """
+    by_id = {g.id: g for g in groups}
+
+    enc_widths: List[int] = []
+    dec_widths: List[int] = []
+    enc_groups: List[int] = []
+    dec_groups: List[int] = []
+    prev_idx: Optional[np.ndarray] = None
+
+    def process(layer: str, gn: str, norm_groups: int, p, prev_idx):
+        g = by_id.get(layer)
+        width = get_path(p, f"{layer}/kernel").shape[-1]
+        if g is not None and g.is_prunable:
+            kg = kept_groups(g, p)
+        else:
+            kg = np.arange(norm_groups)
+        idx = kept_indices_for_axis(kg, Transform.OUT, width,
+                                    num_groups=norm_groups)
+        if prev_idx is not None:
+            p = _slice_layer_in(p, layer, prev_idx)
+        p = _slice_layer_out(p, layer, idx)
+        for nm in ("scale", "bias"):
+            if has_path(p, f"{gn}/{nm}"):
+                p = set_path(p, f"{gn}/{nm}",
+                             _take(get_path(p, f"{gn}/{nm}"), idx, 0))
+        return p, idx, len(kg)
+
+    for i in range(len(cfg.widths)):
+        params, prev_idx, n_kept = process(
+            f"enc_{i}", f"enc_gn_{i}", cfg.enc_groups(i), params, prev_idx)
+        enc_widths.append(len(prev_idx))
+        enc_groups.append(n_kept)
+    for i in range(len(cfg.decoder_widths)):
+        params, prev_idx, n_kept = process(
+            f"dec_{i}", f"dec_gn_{i}", cfg.dec_groups(i), params, prev_idx)
+        dec_widths.append(len(prev_idx))
+        dec_groups.append(n_kept)
+    params = _slice_layer_in(params, "out_conv", prev_idx)
+
+    new_cfg = dataclasses.replace(
+        cfg,
+        widths=tuple(enc_widths),
+        dec_widths=tuple(dec_widths),
+        enc_norm_groups=tuple(enc_groups),
+        dec_norm_groups=tuple(dec_groups),
+    )
+    return new_cfg, params

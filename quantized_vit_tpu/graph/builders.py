@@ -281,6 +281,41 @@ def transformer_node_groups(cfg, params) -> List[NodeGroup]:
     return groups
 
 
+def autoencoder_node_groups(cfg, params) -> List[NodeGroup]:
+    """Node groups for the ConvAutoencoder family (models/autoencoder.py) —
+    ConvTranspose + GroupNorm pruning support.
+
+    Mirrors the reference operators ConvTranspose2dOTO (operator.py:291-349)
+    and GroupNorm/InstanceNorm (operator.py:387-457) plus the pzig SPREAD
+    overwrite (pruning_dependency.py:426-538): a conv followed by a
+    GroupNorm(G) prunes in units of whole norm groups, so the node group's
+    ``num_groups`` is G and each pruning group spans a contiguous run of
+    C/G channels (Transform.OUT with coarse granularity). The GroupNorm
+    scale/bias ride as ACCESSORY; each layer's in-dim follows at compression
+    time. The output conv is adjacent to the model output -> unprunable.
+    """
+    groups: List[NodeGroup] = []
+
+    def conv_group(layer: str, gn: str, norm_groups: int):
+        entries = _layer_entries(params, layer, Transform.OUT)
+        entries += _ln_entries(params, gn)
+        return NodeGroup(id=layer, entries=entries, num_groups=norm_groups,
+                         is_prunable=True)
+
+    for i in range(len(cfg.widths)):
+        groups.append(conv_group(f"enc_{i}", f"enc_gn_{i}",
+                                 cfg.enc_groups(i)))
+    for i in range(len(cfg.decoder_widths)):
+        groups.append(conv_group(f"dec_{i}", f"dec_gn_{i}",
+                                 cfg.dec_groups(i)))
+    groups.append(NodeGroup(
+        id="out_conv",
+        entries=_layer_entries(params, "out_conv", Transform.OUT),
+        num_groups=cfg.in_channels, is_prunable=False,
+    ))
+    return groups
+
+
 def mark_unprunable(groups: List[NodeGroup], param_names: List[str]
                     ) -> List[NodeGroup]:
     """Disable pruning for any group containing one of the given param paths

@@ -212,3 +212,34 @@ def transformer_cost_report(cfg, params,
         _accumulate(report, "head", float(kk.shape[0] * kk.shape[1]),
                     *_layer_bits(params, "head"), int(np.prod(kk.shape)))
     return _finish(report, params)
+
+
+def autoencoder_cost_report(cfg, params,
+                            img_hw: Tuple[int, int] = (32, 32)
+                            ) -> Dict[str, Any]:
+    """Per-sample MACs/BOPs for a (possibly pruned) ConvAutoencoder.
+
+    Conv MACs use the output spatial size (operator.py:274-288); transposed
+    convs apply the full kernel once per INPUT pixel
+    (ConvTranspose2dOTO, operator.py:291-349), so their MACs use the input
+    spatial size.
+    """
+    report = {"per_layer": {}, "total_macs": 0.0, "total_bops": 0.0,
+              "quantized_weight_bits": 0.0}
+    h, w = img_hw
+
+    def layer(name, macs_hw):
+        k = get_path(params, f"{name}/kernel")
+        kh, kw, cin, cout = k.shape
+        macs = macs_hw[0] * macs_hw[1] * kh * kw * cin * cout
+        _accumulate(report, name, float(macs),
+                    *_layer_bits(params, name), int(np.prod(k.shape)))
+
+    for i in range(len(cfg.widths)):
+        h, w = h // 2, w // 2
+        layer(f"enc_{i}", (h, w))
+    for i in range(len(cfg.decoder_widths)):
+        layer(f"dec_{i}", (h, w))      # input spatial size
+        h, w = h * 2, w * 2
+    layer("out_conv", (h, w))
+    return _finish(report, params)

@@ -13,16 +13,19 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
+from ..models.autoencoder import ConvAutoencoder
 from ..models.resnet import ResNet
 from ..models.transformer import TransformerEncoder
 from ..models.ultranet import UltraNet
 from ..models.vit import ViTConfig, VisionTransformer
 from ..opt import (GETA, GETAConfig, HESSO, HESSOConfig, HESSOCRIC,
                    HESSOCRICConfig, NodeGroup)
-from .builders import (mark_unprunable, resnet_node_groups,
+from .builders import (autoencoder_node_groups, mark_unprunable,
+                       resnet_node_groups,
                        transformer_node_groups, ultranet_node_groups,
                        vit_node_groups)
-from .costs import (resnet_cost_report, transformer_cost_report,
+from .costs import (autoencoder_cost_report, resnet_cost_report,
+                    transformer_cost_report,
                     ultranet_cost_report, vit_cost_report)
 
 
@@ -59,6 +62,10 @@ class OTO:
             self.kind = "transformer"
             self.cfg = model.cfg
             self.node_groups = transformer_node_groups(self.cfg, params)
+        elif isinstance(model, ConvAutoencoder):
+            self.kind = "autoencoder"
+            self.cfg = model.cfg
+            self.node_groups = autoencoder_node_groups(self.cfg, params)
         else:
             raise ValueError(
                 f"no node-group builder registered for {type(model).__name__};"
@@ -122,6 +129,12 @@ class OTO:
             new_cfg, new_params = construct_subnet_transformer(
                 self.cfg, params, self.node_groups)
             return TransformerEncoder(new_cfg), new_params
+        if self.kind == "autoencoder":
+            from ..compress import construct_subnet_autoencoder
+
+            new_cfg, new_params = construct_subnet_autoencoder(
+                self.cfg, params, self.node_groups)
+            return ConvAutoencoder(new_cfg), new_params
         channels, new_params, new_stats = construct_subnet_ultranet(
             params, self.node_groups,
             batch_stats if batch_stats is not None else self.batch_stats)
@@ -141,6 +154,8 @@ class OTO:
             return resnet_cost_report(self.cfg, params)
         if self.kind == "transformer":
             return transformer_cost_report(self.cfg, params)
+        if self.kind == "autoencoder":
+            return autoencoder_cost_report(self.cfg, params)
         return ultranet_cost_report(params)
 
     def compute_macs(self, params=None) -> float:

@@ -165,6 +165,56 @@ class QuantConv(nn.Module, _QuantParamsMixin):
         return y
 
 
+class QuantConvTranspose(nn.Module, _QuantParamsMixin):
+    """Transposed conv with LSFQ weight (+activation) fake-quantization.
+
+    The counterpart of the reference's ConvTranspose2dOTO operator
+    (operator.py:291-349). Torch ConvTranspose2d weights are [in, out, kh,
+    kw] (hence its TRANSPOSE transform); flax kernels are [kh, kw, in, out],
+    so pruning the out-channel axis uses the same Transform.OUT as Conv.
+    NHWC / HWIO layouts.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = "SAME"
+    config: QuantConfig = QuantConfig.off()
+    use_bias: bool = True
+    kernel_init: Any = nn.initializers.kaiming_normal()
+    bias_init: Any = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            self.kernel_init,
+            (*self.kernel_size, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        if self.config.enabled:
+            d_w, qm_w, t_w = self._declare_quant_params("wt")
+            kernel = self._quantize(kernel, d_w, qm_w, t_w, self.config.weight_clip)
+            if self.config.quantize_acts:
+                d_a, qm_a, t_a = self._declare_quant_params("act")
+                x = self._quantize(x, d_a, qm_a, t_a, self.config.act_clip)
+        y = jax.lax.conv_transpose(
+            x,
+            kernel,
+            strides=self.strides,
+            padding=self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if bias is not None:
+            y = y + bias
+        return y
+
+
 def init_quant_params_tree(params, init_bits: float = 32.0):
     """Set each quantized layer's (d, q_m, t) from its float kernel.
 
