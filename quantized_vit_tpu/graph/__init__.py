@@ -11,7 +11,9 @@ from .builders import (
 )
 from .costs import (resnet_cost_report, transformer_cost_report,
                     ultranet_cost_report, vit_cost_report)
+from .costs import autoencoder_cost_report
 from .oto import OTO
+from .tracer import TracedGraph, TraceNode, validate_node_groups
 
 __all__ = [
     "OTO",
@@ -25,4 +27,8 @@ __all__ = [
     "resnet_cost_report",
     "transformer_cost_report",
     "ultranet_cost_report",
+    "autoencoder_cost_report",
+    "TracedGraph",
+    "TraceNode",
+    "validate_node_groups",
 ]
