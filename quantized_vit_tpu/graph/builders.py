@@ -167,6 +167,16 @@ def lora_layer_entries(params, layer: str) -> List[ParamEntry]:
     return out
 
 
+def lora_embedding_entries(params, layer: str) -> List[ParamEntry]:
+    """Entries for a LoraEmbedding layer (LoraEmbeddingOTO,
+    operator.py:592-674): the base table and lora_b prune the feature dim
+    together (torch layout prunes embedding dim=1 via TRANSPOSE; flax puts
+    features last, so both are Transform.OUT); lora_a is NO_PRUNE."""
+    return [ParamEntry(f"{layer}/embedding", Transform.OUT),
+            ParamEntry(f"{layer}/lora_b", Transform.OUT),
+            ParamEntry(f"{layer}/lora_a", Transform.NO_PRUNE)]
+
+
 def resnet_node_groups(cfg, params) -> List[NodeGroup]:
     """Node groups for the residual CNN family (models/resnet.py).
 

@@ -54,21 +54,58 @@ class LoraDense(nn.Module):
         return y
 
 
+class LoraEmbedding(nn.Module):
+    """Embedding with a low-rank adapter (LoraEmbeddingOTO,
+    operator.py:592-674). Base table ``embedding [vocab, dim]`` plus
+    ``lora_a [vocab, r]`` / ``lora_b [r, dim]``; the adapted lookup is
+    ``embedding[ids] + (alpha/r) * lora_a[ids] @ lora_b`` — exactly
+    ``one_hot(ids) @ (E + s*A@B)`` without materializing the one-hot.
+    lora_a init zero here (the table side), so the adapted layer starts
+    equal to the base, mirroring the zero-init-B convention of LoraDense."""
+
+    num_embeddings: int
+    features: int
+    rank: int = 8
+    alpha: float = 16.0
+
+    @property
+    def scaling(self) -> float:
+        return self.alpha / self.rank
+
+    @nn.compact
+    def __call__(self, ids):
+        embedding = self.param(
+            "embedding", nn.initializers.normal(stddev=0.02),
+            (self.num_embeddings, self.features), jnp.float32)
+        lora_a = self.param("lora_a", nn.initializers.zeros,
+                            (self.num_embeddings, self.rank), jnp.float32)
+        lora_b = self.param("lora_b", nn.initializers.normal(stddev=0.02),
+                            (self.rank, self.features), jnp.float32)
+        return (jnp.take(embedding, ids, axis=0)
+                + self.scaling * (jnp.take(lora_a, ids, axis=0) @ lora_b))
+
+
 def merge_lora(params, scaling_by_path: Optional[dict] = None,
                default_scaling: float = 2.0):
-    """Fold every adapter into its base kernel: kernel += scaling * A @ B,
+    """Fold every adapter into its base weight: base += scaling * A @ B,
     dropping the lora params (the reference's LoRA-merge export option,
-    pruning_compression.py:374-391). Returns a new pytree."""
+    pruning_compression.py:374-391). Handles both Dense (``kernel``) and
+    Embedding (``embedding``) bases — A @ B is [in, out] / [vocab, dim] in
+    either layout. Returns a new pytree."""
 
     def visit(node, path=""):
         if not isinstance(node, dict):
             return node
         out = {k: visit(v, f"{path}/{k}" if path else k)
                for k, v in node.items()}
-        if "lora_a" in out and "lora_b" in out and "kernel" in out:
-            s = (scaling_by_path or {}).get(path, default_scaling)
-            out["kernel"] = out["kernel"] + s * (out["lora_a"] @ out["lora_b"])
-            del out["lora_a"], out["lora_b"]
+        if "lora_a" in out and "lora_b" in out:
+            base_key = "kernel" if "kernel" in out else (
+                "embedding" if "embedding" in out else None)
+            if base_key is not None:
+                s = (scaling_by_path or {}).get(path, default_scaling)
+                out[base_key] = (out[base_key]
+                                 + s * (out["lora_a"] @ out["lora_b"]))
+                del out["lora_a"], out["lora_b"]
         return out
 
     return visit(params)

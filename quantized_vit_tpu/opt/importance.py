@@ -50,7 +50,8 @@ def _norms_and_inner(group: NodeGroup, params, grad_variant):
         sq_p = sq_p + jnp.sum(jnp.square(p), axis=1)
         if e.path.endswith("lora_b"):
             layer = e.path.rsplit("/", 1)[0]
-            base = get_path(params, f"{layer}/kernel")
+            node = get_path(params, layer)
+            base = node["kernel"] if "kernel" in node else node["embedding"]
             proxy = get_path(params, f"{layer}/lora_a") @ p_arr
             bm = group_matrix(base, e.transform, group.num_groups,
                               group.num_heads).astype(jnp.float32)
