@@ -17,6 +17,13 @@ from .ultranet import (
     save_ultranet_artifact,
     load_ultranet_artifact,
 )
+from .hls import (
+    export_ultranet_hls,
+    inc_bias_tiles,
+    int_bit_width,
+    pack_words,
+    tile_pe,
+)
 from .vit import save_vit_int4_artifact, load_vit_int4_artifact
 from .native import (
     native_available,
@@ -39,4 +46,9 @@ __all__ = [
     "load_ultranet_artifact",
     "save_vit_int4_artifact",
     "load_vit_int4_artifact",
+    "export_ultranet_hls",
+    "pack_words",
+    "tile_pe",
+    "inc_bias_tiles",
+    "int_bit_width",
 ]
