@@ -10,6 +10,11 @@ reference user can bring their existing checkpoints to TPU without
 retraining.
 """
 
+from .npz_export import (
+    export_reference_ultranet,
+    ultranet_reference_arrays,
+    ultranet_reference_config,
+)
 from .torch_import import (
     load_torch_checkpoint,
     normalize_state_dict,
@@ -20,6 +25,9 @@ from .torch_import import (
 )
 
 __all__ = [
+    "export_reference_ultranet",
+    "ultranet_reference_arrays",
+    "ultranet_reference_config",
     "load_torch_checkpoint",
     "normalize_state_dict",
     "ultranet_params_from_torch",
