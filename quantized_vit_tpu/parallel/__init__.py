@@ -1,5 +1,14 @@
-"""Mesh construction, GSPMD partition rules (DP x TP), pipeline (PP)."""
+"""Mesh construction, GSPMD partition rules (DP x TP), pipeline (PP),
+multi-host init and collective health checks."""
 
+from .distributed import (
+    HealthCheckError,
+    HealthReport,
+    assert_same_step,
+    collective_health_check,
+    create_hybrid_mesh,
+    initialize_distributed,
+)
 from .partition import (
     create_mesh,
     VIT_PARTITION_RULES,
@@ -16,6 +25,12 @@ from .pipeline import (
 )
 
 __all__ = [
+    "HealthCheckError",
+    "HealthReport",
+    "assert_same_step",
+    "collective_health_check",
+    "create_hybrid_mesh",
+    "initialize_distributed",
     "create_mesh",
     "VIT_PARTITION_RULES",
     "spec_for_path",
