@@ -3,6 +3,7 @@ into dense compressed networks with new static shapes."""
 
 from .subnet import (
     construct_subnet_autoencoder,
+    construct_subnet_mobilenet,
     construct_subnet_resnet,
     construct_subnet_transformer,
     construct_subnet_ultranet,
@@ -13,6 +14,7 @@ from .subnet import (
 __all__ = [
     "construct_subnet_vit",
     "construct_subnet_autoencoder",
+    "construct_subnet_mobilenet",
     "construct_subnet_resnet",
     "construct_subnet_transformer",
     "construct_subnet_ultranet",

@@ -202,6 +202,61 @@ def construct_subnet_resnet(
     return new_cfg, params, batch_stats
 
 
+def construct_subnet_mobilenet(
+    cfg,
+    params,
+    groups: Sequence[NodeGroup],
+    batch_stats: Optional[Any] = None,
+):
+    """Slice a group-sparse MobileNet into a dense subnet.
+
+    Depthwise-merge semantics (pruning_dependency.py:203-238): slicing
+    group i's channels cuts the producing conv's out-dim + BN, the next
+    depthwise kernel's CHANNEL axis (last axis of [k, k, 1, C]) + its BN,
+    and the next pointwise kernel's in-dim. head.in <- last pw group.
+    """
+    by_id = {g.id: g for g in groups}
+
+    def kept(gid, full):
+        g = by_id.get(gid)
+        if g is not None and g.is_prunable:
+            return kept_groups(g, params)
+        return np.arange(full)
+
+    def slice_channel_group(producer, bn, dw_idx, idx):
+        nonlocal params, batch_stats
+        params = _slice_layer_out(params, producer, idx)
+        params = _slice_bn(params, bn, idx)
+        batch_stats = _slice_bn(batch_stats, bn, idx)
+        if dw_idx is not None:
+            # depthwise kernel channel axis is the out axis
+            params = _slice_layer_out(params, f"dw_{dw_idx}", idx)
+            params = _slice_bn(params, f"dw_bn_{dw_idx}", idx)
+            batch_stats = _slice_bn(batch_stats, f"dw_bn_{dw_idx}", idx)
+
+    n = len(cfg.widths)
+    stem_kept = kept("stem", cfg.stem_width)
+    slice_channel_group("stem_conv", "stem_bn", 0, stem_kept)
+    params = _slice_layer_in(params, "pw_0", stem_kept)
+
+    pw_kept = []
+    for i in range(n):
+        idx = kept(f"pw_{i}", cfg.widths[i])
+        pw_kept.append(idx)
+        nxt = i + 1 if i + 1 < n else None
+        slice_channel_group(f"pw_{i}", f"pw_bn_{i}", nxt, idx)
+        if nxt is not None:
+            params = _slice_layer_in(params, f"pw_{nxt}", idx)
+    params = _slice_layer_in(params, "head", pw_kept[-1])
+
+    new_cfg = dataclasses.replace(
+        cfg,
+        stem_width=len(stem_kept),
+        widths=tuple(len(k) for k in pw_kept),
+    )
+    return new_cfg, params, batch_stats
+
+
 # ---------------------------------------------------------------------------
 # UltraNet
 # ---------------------------------------------------------------------------

@@ -4,6 +4,7 @@ and the OTO facade (SURVEY.md §2.3 graph/ + §7 item 4)."""
 from .builders import (
     mark_unprunable,
     autoencoder_node_groups,
+    mobilenet_node_groups,
     resnet_node_groups,
     transformer_node_groups,
     ultranet_node_groups,
@@ -20,6 +21,7 @@ __all__ = [
     "vit_node_groups",
     "resnet_node_groups",
     "autoencoder_node_groups",
+    "mobilenet_node_groups",
     "transformer_node_groups",
     "ultranet_node_groups",
     "mark_unprunable",

@@ -228,6 +228,44 @@ def resnet_node_groups(cfg, params) -> List[NodeGroup]:
     return groups
 
 
+def mobilenet_node_groups(cfg, params) -> List[NodeGroup]:
+    """Node groups for the depthwise-separable family (models/mobilenet.py).
+
+    Mirrors the reference's depthwise-conv merge (pruning_dependency.py:
+    203-238): a depthwise conv's per-channel kernels can't pick their own
+    channels, so they join the PRODUCING layer's group — here each group
+    spans (producing conv kernel out-dim, its BN, the following depthwise
+    kernel's channel axis, the depthwise BN); the next pointwise conv's
+    in-dim follows at compression time. The last pointwise group feeds GAP
+    -> head, whose in-dim also follows; head itself is unprunable
+    (adjacent to output, pruning_dependency.py:395-400).
+    """
+    groups: List[NodeGroup] = []
+    n = len(cfg.widths)
+
+    def channel_group(gid, producer, producer_bn, width, dw=None):
+        entries = _layer_entries(params, producer, Transform.OUT)
+        entries += _ln_entries(params, producer_bn)
+        if dw is not None:
+            # depthwise kernel [k, k, 1, C]: channel axis is last -> OUT
+            entries += _layer_entries(params, f"dw_{dw}", Transform.OUT)
+            entries += _ln_entries(params, f"dw_bn_{dw}")
+        return NodeGroup(id=gid, entries=entries, num_groups=width,
+                         is_prunable=True)
+
+    groups.append(channel_group("stem", "stem_conv", "stem_bn",
+                                cfg.stem_width, dw=0))
+    for i, width in enumerate(cfg.widths):
+        nxt = i + 1 if i + 1 < n else None
+        groups.append(channel_group(f"pw_{i}", f"pw_{i}", f"pw_bn_{i}",
+                                    width, dw=nxt))
+    groups.append(NodeGroup(
+        id="head", entries=_layer_entries(params, "head", Transform.OUT),
+        num_groups=cfg.num_classes, is_prunable=False,
+    ))
+    return groups
+
+
 def transformer_node_groups(cfg, params) -> List[NodeGroup]:
     """Node groups for the separate-q/k/v TransformerEncoder family.
 

@@ -158,6 +158,35 @@ def resnet_cost_report(cfg, params,
     return _finish(report, params)
 
 
+def mobilenet_cost_report(cfg, params,
+                          img_hw: Tuple[int, int] = (32, 32)
+                          ) -> Dict[str, Any]:
+    """Per-sample MACs/BOPs for a (possibly pruned) MobileNet params tree.
+    Depthwise conv MACs = H·W·k²·C (group count = C, one input channel per
+    filter — the conv MAC formula of operator.py:274-288 with groups)."""
+    report = {"per_layer": {}, "total_macs": 0.0, "total_bops": 0.0,
+              "quantized_weight_bits": 0.0}
+    h, w = img_hw
+
+    def conv(name, h, w, stride=1, depthwise=False):
+        k = get_path(params, f"{name}/kernel")
+        kh, kw, cin, cout = k.shape   # depthwise: cin == 1
+        ho, wo = h // stride, w // stride
+        macs = ho * wo * kh * kw * cin * cout
+        _accumulate(report, name, float(macs),
+                    *_layer_bits(params, name), int(np.prod(k.shape)))
+        return ho, wo
+
+    h, w = conv("stem_conv", h, w)
+    for i, stride in enumerate(cfg.strides):
+        h, w = conv(f"dw_{i}", h, w, stride, depthwise=True)
+        conv(f"pw_{i}", h, w)
+    kk = get_path(params, "head/kernel")
+    _accumulate(report, "head", float(kk.shape[0] * kk.shape[1]),
+                *_layer_bits(params, "head"), int(np.prod(kk.shape)))
+    return _finish(report, params)
+
+
 def ultranet_cost_report(params, img_hw: Tuple[int, int] = (160, 320),
                          w_bit: int = 4, a_bit: int = 4) -> Dict[str, Any]:
     """Per-sample MACs/BOPs for (possibly pruned) UltraNet.

@@ -14,6 +14,7 @@ import dataclasses
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 from ..models.autoencoder import ConvAutoencoder
+from ..models.mobilenet import MobileNet
 from ..models.resnet import ResNet
 from ..models.transformer import TransformerEncoder
 from ..models.ultranet import UltraNet
@@ -21,10 +22,11 @@ from ..models.vit import ViTConfig, VisionTransformer
 from ..opt import (GETA, GETAConfig, HESSO, HESSOConfig, HESSOCRIC,
                    HESSOCRICConfig, NodeGroup)
 from .builders import (autoencoder_node_groups, mark_unprunable,
-                       resnet_node_groups,
+                       mobilenet_node_groups, resnet_node_groups,
                        transformer_node_groups, ultranet_node_groups,
                        vit_node_groups)
-from .costs import (autoencoder_cost_report, resnet_cost_report,
+from .costs import (autoencoder_cost_report, mobilenet_cost_report,
+                    resnet_cost_report,
                     transformer_cost_report,
                     ultranet_cost_report, vit_cost_report)
 
@@ -54,6 +56,10 @@ class OTO:
             self.kind = "ultranet"
             self.cfg = None
             self.node_groups = ultranet_node_groups(params)
+        elif isinstance(model, MobileNet):
+            self.kind = "mobilenet"
+            self.cfg = model.cfg
+            self.node_groups = mobilenet_node_groups(self.cfg, params)
         elif isinstance(model, ResNet):
             self.kind = "resnet"
             self.cfg = model.cfg
@@ -118,6 +124,13 @@ class OTO:
             new_cfg, new_params = construct_subnet_vit(
                 self.cfg, params, self.node_groups)
             return VisionTransformer(new_cfg), new_params
+        if self.kind == "mobilenet":
+            from ..compress import construct_subnet_mobilenet
+
+            new_cfg, new_params, new_stats = construct_subnet_mobilenet(
+                self.cfg, params, self.node_groups,
+                batch_stats if batch_stats is not None else self.batch_stats)
+            return MobileNet(new_cfg), new_params, new_stats
         if self.kind == "resnet":
             new_cfg, new_params, new_stats = construct_subnet_resnet(
                 self.cfg, params, self.node_groups,
@@ -150,6 +163,8 @@ class OTO:
         params = self.params if params is None else params
         if self.kind == "vit":
             return vit_cost_report(self.cfg, params)
+        if self.kind == "mobilenet":
+            return mobilenet_cost_report(self.cfg, params)
         if self.kind == "resnet":
             return resnet_cost_report(self.cfg, params)
         if self.kind == "transformer":

@@ -131,6 +131,7 @@ class QuantConv(nn.Module, _QuantParamsMixin):
     padding: Any = "SAME"
     config: QuantConfig = QuantConfig.off()
     use_bias: bool = True
+    feature_group_count: int = 1   # = features for depthwise convs
     kernel_init: Any = nn.initializers.kaiming_normal()
     bias_init: Any = nn.initializers.zeros
 
@@ -139,7 +140,8 @@ class QuantConv(nn.Module, _QuantParamsMixin):
         kernel = self.param(
             "kernel",
             self.kernel_init,
-            (*self.kernel_size, x.shape[-1], self.features),
+            (*self.kernel_size, x.shape[-1] // self.feature_group_count,
+             self.features),
             jnp.float32,
         )
         bias = (
@@ -159,6 +161,7 @@ class QuantConv(nn.Module, _QuantParamsMixin):
             window_strides=self.strides,
             padding=self.padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.feature_group_count,
         )
         if bias is not None:
             y = y + bias
