@@ -84,3 +84,27 @@ def test_autoencoder_unprunable_output_conv_kept():
     assert not out_g.is_prunable
     # shapes reconstruct the input resolution and channels
     assert model.apply({"params": params}, x).shape == x.shape
+
+
+def test_autoencoder_instance_norm_case():
+    """InstanceNorm2dOTO (operator.py:387-457) = GroupNorm with
+    norm_groups == channels: per-channel pruning granularity, lossless
+    slicing."""
+    cfg = AutoencoderConfig(widths=(8,), norm_groups=8, in_channels=3)
+    model = ConvAutoencoder(cfg)
+    x = jnp.array(np.random.default_rng(1).standard_normal((2, 16, 16, 3)),
+                  jnp.float32)
+    params = flax.core.unfreeze(model.init(jax.random.PRNGKey(0), x)["params"])
+
+    groups = autoencoder_node_groups(cfg, params)
+    by_id = {g.id: g for g in groups}
+    assert by_id["enc_0"].num_groups == 8  # one group per channel
+    params = _zero_groups(params, by_id["enc_0"], [2, 5, 7])
+
+    sparse_out = model.apply({"params": params}, x)
+    new_cfg, new_params = construct_subnet_autoencoder(cfg, params, groups)
+    assert new_cfg.widths == (5,)
+    assert new_cfg.enc_norm_groups == (5,)  # still instance norm
+    dense_out = ConvAutoencoder(new_cfg).apply({"params": new_params}, x)
+    np.testing.assert_allclose(np.asarray(dense_out), np.asarray(sparse_out),
+                               rtol=1e-5, atol=1e-5)
