@@ -24,7 +24,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-BATCH = 8
+# batch 32 is the single-chip throughput sweet spot (batch 8 ~3.7k img/s,
+# 32 ~3.9k; flat beyond — the model is MXU-bound, see PROGRESS notes)
+BATCH = 32
 ITERS = 30
 REPS = 3
 
