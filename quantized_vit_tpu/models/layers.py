@@ -250,6 +250,60 @@ def init_quant_params_tree(params, init_bits: float = 32.0):
     return visit(plain)
 
 
+def model_to_quantize_model(model, params, example_input,
+                            quant: "QuantConfig" = None,
+                            init_bits: float = 32.0):
+    """Float model + params -> its quantized twin with initialized scalars.
+
+    The reference mutates a torch module in place, swapping every
+    Linear/Conv2d for QuantizeLinear/QuantizeConv2d and registering the
+    learnable (d, q_m, t) parameters (quant_model.py:15-82 +
+    initialize_quant_layer, quant_layers.py:413-440). Functionally here:
+    rebuild the model with ``quant`` enabled in its config, take the
+    quantized params *structure* from ``jax.eval_shape`` (zero FLOPs), copy
+    every float leaf from the source tree, and initialize the new quant
+    scalars from the weights (q_m = max|W|, d = q_m/(2^(b-1)-1), t = 1).
+
+    Works for any family whose config dataclass carries a ``quant`` field
+    (ViT, ResNet, Transformer, ConvAutoencoder, MobileNet). Returns
+    (quant_model, quant_params).
+    """
+    import dataclasses
+
+    import flax
+    import numpy as np
+
+    quant = quant or QuantConfig(enabled=True)
+    if not hasattr(model, "cfg") or not hasattr(model.cfg, "quant"):
+        raise ValueError(
+            f"{type(model).__name__} has no quant-bearing config; construct "
+            "the quantized variant directly")
+    qmodel = type(model)(dataclasses.replace(model.cfg, quant=quant))
+    abstract = jax.eval_shape(
+        lambda: qmodel.init(jax.random.PRNGKey(0), example_input)
+    )["params"]
+
+    src = flax.core.unfreeze(params) if hasattr(params, "unfreeze") else params
+
+    def fill(ab, have, path=""):
+        if not isinstance(ab, (dict, flax.core.FrozenDict)):
+            leaf = None if have is None else have
+            if leaf is not None:
+                if tuple(np.shape(leaf)) != tuple(ab.shape):
+                    raise ValueError(
+                        f"shape mismatch at {path}: source "
+                        f"{np.shape(leaf)} vs quant model {ab.shape}")
+                return jnp.asarray(leaf)
+            # new quant scalar — placeholder; initialized just below
+            return jnp.ones(ab.shape, ab.dtype)
+        return {k: fill(v, None if have is None else have.get(k),
+                        f"{path}/{k}" if path else k)
+                for k, v in ab.items()}
+
+    qparams = fill(abstract, src)
+    return qmodel, init_quant_params_tree(qparams, init_bits=init_bits)
+
+
 def collect_quant_params(params, prefix: str = ""):
     """{layer_path: {name: value}} for all quant scalars — the analogue of
     get_quant_param_dict (quant_model.py:85-101)."""
