@@ -6,11 +6,18 @@ command per target:
 
   python -m quantized_vit_tpu.cli.export ultranet --checkpoint C --out D
   python -m quantized_vit_tpu.cli.export vit      --checkpoint C --out D
+  python -m quantized_vit_tpu.cli.export hls      --checkpoint C --out D
+  python -m quantized_vit_tpu.cli.export refnpz   --checkpoint C --out D
 
 ultranet: flax checkpoint -> integer (kernel_int, inc, bias) artifact
           (artifact.ultranet; quantization.py:24-89 math).
 vit:      trained fake-quant checkpoint -> packed-INT4 serving artifact
           (serve.export_vit_int4 + artifact.vit).
+hls:      flax checkpoint -> FPGA C++ headers param.h/config.h
+          (artifact.hls; exact parity with qnn_mem_process.py).
+refnpz:   flax checkpoint -> reference-format ultranet_4w4a.npz +
+          config.json (interop.npz_export; torch_export.py flow), so the
+          reference's own downstream tooling consumes our checkpoints.
 """
 
 from __future__ import annotations
@@ -36,6 +43,15 @@ def parse_args(argv=None):
     pu.add_argument("--w-bit", type=int, default=4)
     pu.add_argument("--a-bit", type=int, default=4)
     pu.add_argument("--l-shift", type=int, default=8)
+
+    for name in ("hls", "refnpz"):
+        ph = sub.add_parser(name)
+        ph.add_argument("--checkpoint", required=True)
+        ph.add_argument("--out", required=True)
+        if name == "hls":
+            ph.add_argument("--w-bit", type=int, default=4)
+            ph.add_argument("--a-bit", type=int, default=4)
+            ph.add_argument("--l-shift", type=int, default=8)
 
     pv = sub.add_parser("vit")
     add_model_args(pv)
@@ -64,6 +80,29 @@ def main(argv=None):
         out = save_ultranet_artifact(args.out, params, stats, exp)
         print(f"[export] ultranet integer artifact -> {out}")
         return out
+
+    if args.target in ("hls", "refnpz"):
+        params, _, extra = load_params_any(args.checkpoint)
+        stats = extra.get("batch_stats")
+        if stats is None:
+            raise SystemExit(
+                "checkpoint lacks batch_stats in extra; re-save with "
+                "save_checkpoint(..., extra={'batch_stats': stats})")
+        if args.target == "hls":
+            from ..artifact import UltraNetExportConfig
+            from ..artifact.hls import export_ultranet_hls
+
+            exp = UltraNetExportConfig(w_bit=args.w_bit, a_bit=args.a_bit,
+                                       l_shift=args.l_shift)
+            export_ultranet_hls(params, stats, args.out, exp)
+            print(f"[export] HLS headers (param.h, config.h) -> {args.out}")
+            return args.out
+        from ..interop import export_reference_ultranet
+
+        npz_path, cfg_path = export_reference_ultranet(params, stats,
+                                                       args.out)
+        print(f"[export] reference npz -> {npz_path}, config -> {cfg_path}")
+        return args.out
 
     from ..artifact import save_vit_int4_artifact
     from ..cli.eval import vit_config_from_dict

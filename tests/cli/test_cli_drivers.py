@@ -195,3 +195,37 @@ def test_export_driver_ultranet_torch_checkpoint(tmp_path):
     x_lv = jnp.round(jnp.clip(x, 0, 1) * 255).astype(jnp.int32)
     io_i, _ = UltraNetInt().apply({"params": int_params}, x_lv)
     assert np.isfinite(np.asarray(io_i)).all()
+
+
+def test_export_driver_hls_and_refnpz(tmp_path):
+    import flax
+    import jax
+    import jax.numpy as jnp
+
+    from quantized_vit_tpu.cli.export import main
+    from quantized_vit_tpu.models import UltraNet
+    from quantized_vit_tpu.opt.checkpoint import save_checkpoint
+
+    model = UltraNet()
+    x = jnp.zeros((1, 32, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    ckpt = str(tmp_path / "ultranet")
+    save_checkpoint(
+        ckpt, flax.core.unfreeze(variables["params"]), None,
+        {"batch_stats": jax.tree.map(
+            np.asarray, flax.core.unfreeze(variables["batch_stats"]))})
+
+    hls_dir = str(tmp_path / "hls")
+    main(["hls", "--checkpoint", ckpt, "--out", hls_dir])
+    param_h = open(os.path.join(hls_dir, "param.h")).read()
+    config_h = open(os.path.join(hls_dir, "config.h")).read()
+    assert "const ap_uint<12> conv_0_w" in param_h
+    assert "#define CONV_8_W_TILES" in config_h
+
+    ref_dir = str(tmp_path / "refnpz")
+    main(["refnpz", "--checkpoint", ckpt, "--out", ref_dir])
+    arrs = np.load(os.path.join(ref_dir, "ultranet_4w4a.npz"))
+    assert len(arrs.files) == 50
+    import json as _json
+    cfg = _json.load(open(os.path.join(ref_dir, "config.json")))
+    assert cfg["conv_0"]["in_shape"] == [3, 160, 320]
