@@ -1,6 +1,7 @@
 """Pruning-dependency graph layer: declarative node groups, cost model,
 and the OTO facade (SURVEY.md §2.3 graph/ + §7 item 4)."""
 
+from .autogroups import discover_node_groups
 from .builders import (
     mark_unprunable,
     autoencoder_node_groups,
@@ -18,6 +19,7 @@ from .tracer import TracedGraph, TraceNode, validate_node_groups
 
 __all__ = [
     "OTO",
+    "discover_node_groups",
     "vit_node_groups",
     "resnet_node_groups",
     "autoencoder_node_groups",

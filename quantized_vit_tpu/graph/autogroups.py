@@ -1,0 +1,371 @@
+"""Automatic pruning-dependency discovery from a jaxpr trace.
+
+The reference partitions arbitrary models into pruning-zero-invariant
+groups ("pzigs") by walking its traced ONNX graph
+(dependency_graph/pruning_dependency.py:347-538): connected components of
+non-stem nodes grow upstream until stem nodes (step 1-3), intersecting
+groups merge (step 4, residual additions), depthwise convs merge into
+their incoming group (step 7), and groups adjacent to the model output are
+unprunable (step 10). Composed ops (attention) are NOT discovered — they
+come from a per-module-class registry (COMPOSED_MODULES,
+operation/operator.py:1422-1438).
+
+This module is the jaxpr equivalent for the same scope: **basic
+architectures** — convnets with BN/residuals/depthwise, MLPs — are
+partitioned automatically by dataflow analysis on the
+:class:`~quantized_vit_tpu.graph.tracer.TracedGraph`; attention/composed
+families keep their declarative builders (builders.py), mirroring the
+reference's registry split.
+
+Algorithm (flax layouts: channels last, kernels [..., in, out]):
+
+1. every dot_general/conv consuming a labeled kernel param is a **stem**;
+   its out-axis is a candidate pruning group.
+2. walk the dataflow FORWARD from each stem, tracking which axis of each
+   intermediate value carries the stem's output channels (elementwise ops
+   keep it, transpose permutes it, reductions shift it, reshape keeps it
+   while the trailing dim is preserved).
+3. when two tracked flows meet at an elementwise op (residual add), their
+   stems merge into one group (union-find — reference step 4).
+4. a (C,)-shaped param encountered on the untracked side of an elementwise
+   op (BN/LN scale and bias, after provenance through their rsqrt math)
+   joins the group as ACCESSORY.
+5. a tracked value feeding another stem's DATA input stops there (that
+   stem's in-dim follows at compression); feeding a DEPTHWISE conv merges
+   the depthwise kernel into the group and continues through it
+   (reference step 7).
+6. a tracked value reaching the traced output, or an op the tracker can't
+   see through, marks the group unprunable (reference step 10's
+   adjacent-to-output / no-stem rules, conservatively extended).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Set, Tuple
+
+import jax
+import numpy as np
+
+from ..opt.groups import NodeGroup, ParamEntry, Transform
+from .tracer import TracedGraph, TraceNode
+
+# ops through which the channel axis passes unchanged (elementwise / shape-
+# preserving); binary members may also merge flows or pick up accessories
+_ELEMENTWISE = {
+    "add", "sub", "mul", "div", "max", "min", "pow", "and", "or", "xor",
+    "tanh", "logistic", "exp", "log", "rsqrt", "sqrt", "erf", "abs", "sign",
+    "neg", "floor", "ceil", "round", "clamp", "select_n", "custom_jvp_call",
+    "custom_vjp_call", "custom_vjp_call_jaxpr", "convert_element_type",
+    "integer_pow", "stop_gradient", "nextafter", "copy",
+}
+_PASS_THROUGH = {"reduce_window_max", "reduce_window_sum", "pad", "slice",
+                 "dynamic_slice", "rev"}
+_STEM_OPS = {"dot_general", "conv_general_dilated"}
+
+
+@dataclasses.dataclass
+class _Stem:
+    node: TraceNode
+    kernel_path: str
+    bias_path: Optional[str]
+    out_channels: int
+    depthwise: bool
+
+
+class _UnionFind:
+    def __init__(self, n: int):
+        self.p = list(range(n))
+
+    def find(self, a: int) -> int:
+        while self.p[a] != a:
+            self.p[a] = self.p[self.p[a]]
+            a = self.p[a]
+        return a
+
+    def union(self, a: int, b: int):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[max(ra, rb)] = min(ra, rb)
+
+
+def _param_shapes(params) -> Dict[str, Tuple[int, ...]]:
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    return {
+        "/".join(str(getattr(k, "key", k)) for k in kp): tuple(np.shape(v))
+        for kp, v in flat
+    }
+
+
+def _layer_of(path: str) -> str:
+    return path.rsplit("/", 1)[0] if "/" in path else path
+
+
+def discover_node_groups(model, params, example_input,
+                         batch_stats=None,
+                         model_kwargs: Optional[dict] = None
+                         ) -> List[NodeGroup]:
+    """Partition a basic model into pruning groups by jaxpr dataflow.
+
+    Traces ``model.apply`` on ``example_input`` and runs the pzig steps
+    above. Returns NodeGroups compatible with GETA/HESSO/compression.
+    Raises ValueError when the trace contains structure this basic
+    partitioner can't follow soundly next to a kernel (e.g. attention
+    reshapes) — use the declarative family builders for those models.
+    """
+    model_kwargs = dict(model_kwargs or {})
+    variables = {"params": params}
+    if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
+
+    def fn(params_arg, x):
+        v = dict(variables)
+        v["params"] = params_arg
+        return model.apply(v, x, **model_kwargs)
+
+    graph = TracedGraph.trace(fn, params, example_input, params=params)
+    shapes = _param_shapes(params)
+
+    # forward adjacency
+    consumers: Dict[str, List[TraceNode]] = {}
+    for n in graph.nodes:
+        for src in n.inputs:
+            consumers.setdefault(src, []).append(n)
+    output_ids = set(graph.output_ids)
+
+    # transitive labeled-param provenance per node (for BN-style accessory
+    # params that reach the elementwise op through rsqrt/mul math)
+    provenance: Dict[str, Set[str]] = {}
+    for n in graph.nodes:  # nodes are in topological order
+        deps: Set[str] = set(n.param_names)
+        for src in n.inputs:
+            if src in provenance:
+                deps |= provenance[src]
+        provenance[n.id] = deps
+
+    # quant scalars never prune and never count as accessories
+    def is_quant_scalar(path: str) -> bool:
+        name = path.rsplit("/", 1)[-1]
+        return name.startswith(("d_quant", "q_m", "t_quant"))
+
+    # ------------------------------------------------------------------
+    # step 1: stems. The weight operand is found by PROVENANCE, not by
+    # direct param consumption: fake-quant layers run the kernel through
+    # quantizer math before the conv/dot, exactly the traced-quantizer
+    # situation the reference collapses in graph.py:525-662 — here the
+    # transitive labeled-param set of the weight operand identifies the
+    # kernel without any graph rewriting.
+    # ------------------------------------------------------------------
+    def _operand_kernel(arg_id: Optional[str]) -> Optional[str]:
+        if arg_id is None or arg_id == "<arg>":
+            return None
+        deps = ({arg_id} if arg_id in shapes
+                else provenance.get(arg_id, set()))
+        kernels = [p for p in deps if len(shapes.get(p, ())) >= 2
+                   and not is_quant_scalar(p)]
+        return kernels[0] if len(kernels) == 1 else None
+
+    stems: List[_Stem] = []
+    stem_by_node: Dict[str, int] = {}
+    for n in graph.nodes:
+        if n.op not in _STEM_OPS or len(n.arg_ids) < 2:
+            continue
+        if n.op == "conv_general_dilated":
+            kpath = _operand_kernel(n.arg_ids[1])
+        else:
+            kpath = _operand_kernel(n.arg_ids[1]) or _operand_kernel(
+                n.arg_ids[0])
+        if kpath is None:
+            continue
+        kshape = shapes[kpath]
+        out_ch = kshape[-1]
+        depthwise = (n.op == "conv_general_dilated"
+                     and len(kshape) == 4 and kshape[2] == 1
+                     and out_ch > 1)
+        bias = None
+        cand = f"{_layer_of(kpath)}/bias"
+        if cand in shapes and shapes[cand] == (out_ch,):
+            bias = cand
+        stem_by_node[n.id] = len(stems)
+        stems.append(_Stem(n, kpath, bias, out_ch, depthwise))
+
+    if not stems:
+        raise ValueError("no kernel-consuming stems found in trace")
+
+    uf = _UnionFind(len(stems))
+    accessories: Dict[int, List[str]] = {i: [] for i in range(len(stems))}
+    unprunable: Set[int] = set()
+    # depthwise stems absorbed into a producer group
+    absorbed: Dict[int, int] = {}
+
+    # ------------------------------------------------------------------
+    # steps 2-7: forward walk from each stem
+    # ------------------------------------------------------------------
+    def walk(stem_idx: int):
+        stem = stems[stem_idx]
+        start = stem.node
+        # (node_id, channel_axis) frontier; axis indexes the node's OUTPUT
+        out_ndim = len(start.shape or ())
+        frontier: List[Tuple[str, int]] = [(start.id, out_ndim - 1)]
+        seen: Set[Tuple[str, int]] = set(frontier)
+        claimed: Dict[Tuple[str, int], int] = walk.claimed
+
+        while frontier:
+            nid, axis = frontier.pop()
+            if nid in output_ids:
+                unprunable.add(uf.find(stem_idx))
+            for nxt in consumers.get(nid, ()):  # consumers of this value
+                if nxt.op in _STEM_OPS and nxt.id in stem_by_node:
+                    j = stem_by_node[nxt.id]
+                    if stems[j].depthwise:
+                        # step 7: depthwise conv joins the incoming group
+                        absorbed[j] = uf.find(stem_idx)
+                        uf.union(stem_idx, j)
+                        nd = len(nxt.shape or ())
+                        key = (nxt.id, nd - 1)
+                        if key not in seen:
+                            seen.add(key)
+                            frontier.append(key)
+                    # dense/conv data input: in-dim follows at compression
+                    continue
+                new_axis = _axis_through(nxt, nid, axis, graph)
+                if new_axis is None:
+                    # opaque op next to the group -> conservative unprunable
+                    unprunable.add(uf.find(stem_idx))
+                    continue
+                if nxt.op in _ELEMENTWISE and len(nxt.inputs) > 1:
+                    for other in nxt.inputs:
+                        if other == nid:
+                            continue
+                        key = (other, axis)
+                        if key in claimed and \
+                                uf.find(claimed[key]) != uf.find(stem_idx):
+                            # step 4: residual junction -> merge groups
+                            uf.union(claimed[key], stem_idx)
+                        else:
+                            # accessory params reaching this op (BN/LN
+                            # scale/bias and friends). The other operand
+                            # must be a PURE per-channel chain: if any
+                            # kernel param is in its provenance it's a data
+                            # branch (residual without claim yet, or STE
+                            # plumbing `x + stop_gradient(..)` whose history
+                            # contains the whole upstream), never an
+                            # accessory.
+                            deps = (provenance.get(other, set())
+                                    if other in graph.by_id
+                                    else ({other} if other in shapes
+                                          else set()))
+                            if any(len(shapes.get(q, ())) >= 2
+                                   for q in deps):
+                                continue
+                            for p in deps:
+                                if (shapes.get(p) == (stem.out_channels,)
+                                        and not is_quant_scalar(p)
+                                        and p not in accessories[stem_idx]):
+                                    accessories[stem_idx].append(p)
+                key = (nxt.id, new_axis)
+                claimed[key] = stem_idx
+                if key not in seen:
+                    seen.add(key)
+                    frontier.append(key)
+
+    walk.claimed = {}
+    for i in range(len(stems)):
+        if not stems[i].depthwise:
+            walk.claimed[(stems[i].node.id,
+                          len(stems[i].node.shape or ()) - 1)] = i
+    for i in range(len(stems)):
+        if not stems[i].depthwise:
+            walk(i)
+
+    # ------------------------------------------------------------------
+    # assemble groups per union-find root
+    # ------------------------------------------------------------------
+    roots: Dict[int, List[int]] = {}
+    for i in range(len(stems)):
+        roots.setdefault(uf.find(i), []).append(i)
+
+    groups: List[NodeGroup] = []
+    for root, members in sorted(roots.items()):
+        out_ch = stems[members[0]].out_channels
+        entries: List[ParamEntry] = []
+        added: Set[str] = set()
+        ok = True
+        for i in members:
+            s = stems[i]
+            if s.out_channels != out_ch:
+                ok = False  # inconsistent merge (shouldn't happen)
+            for path, tf in ((s.kernel_path, Transform.OUT),
+                             (s.bias_path, Transform.ACCESSORY)):
+                if path and path not in added:
+                    added.add(path)
+                    entries.append(ParamEntry(path, tf))
+            layer = _layer_of(s.kernel_path)
+            for q in ("d_quant_wt", "q_m_wt", "t_quant_wt",
+                      "d_quant_act", "q_m_act", "t_quant_act"):
+                qp = f"{layer}/{q}"
+                if qp in shapes and qp not in added:
+                    added.add(qp)
+                    entries.append(ParamEntry(qp, Transform.NO_PRUNE))
+            for p in accessories.get(i, ()):
+                if p not in added:
+                    added.add(p)
+                    entries.append(ParamEntry(p, Transform.ACCESSORY))
+        gid = _layer_of(stems[members[0]].kernel_path)
+        groups.append(NodeGroup(
+            id=gid, entries=entries, num_groups=out_ch,
+            is_prunable=ok and root not in unprunable,
+        ))
+    return groups
+
+
+def _axis_through(node: TraceNode, src_id: str, axis: int,
+                  graph: TracedGraph) -> Optional[int]:
+    """Where does ``axis`` of input ``src_id`` land in ``node``'s output?
+    None = the tracker can't follow (opaque)."""
+    src_shape = graph.by_id[src_id].shape if src_id in graph.by_id else None
+    out_shape = node.shape
+    if node.op in _ELEMENTWISE or node.op in _PASS_THROUGH:
+        if (src_shape is not None and out_shape is not None
+                and len(out_shape) == len(src_shape)):
+            return axis
+        # broadcasting binary op: align trailing axes
+        if src_shape is not None and out_shape is not None:
+            shift = len(out_shape) - len(src_shape)
+            return axis + shift if axis + shift >= 0 else None
+        return axis
+    if node.op == "broadcast_in_dim":
+        return len(out_shape) - 1 if out_shape and axis == len(
+            src_shape or ()) - 1 else None
+    if node.op == "transpose":
+        # output axis j takes input axis perm[j]; we don't have perm here,
+        # so only the common channels-last-preserved case is followed
+        if (src_shape and out_shape and axis == len(src_shape) - 1
+                and out_shape[-1] == src_shape[-1]):
+            return len(out_shape) - 1
+        return None
+    if node.op in ("reduce_sum", "reduce_max", "reduce_min", "reduce_mean",
+                   "reduce_prod", "reduce_and", "reduce_or"):
+        if (src_shape and out_shape and axis == len(src_shape) - 1
+                and out_shape and out_shape[-1] == src_shape[-1]):
+            return len(out_shape) - 1
+        return None
+    if node.op == "reshape":
+        if (src_shape and out_shape and src_shape[-1] == out_shape[-1]
+                and axis == len(src_shape) - 1):
+            return len(out_shape) - 1
+        return None
+    if node.op == "squeeze":
+        if (src_shape and out_shape and axis == len(src_shape) - 1
+                and out_shape[-1] == src_shape[-1]):
+            return len(out_shape) - 1
+        return None
+    if node.op in ("concatenate", "gather", "scatter", "dynamic_update_slice",
+                   "sort", "iota", "argmax", "argmin"):
+        return None
+    # default: same-rank ops keep the axis; rank changes are opaque
+    if (src_shape is not None and out_shape is not None
+            and len(out_shape) == len(src_shape)
+            and out_shape[axis] == src_shape[axis]):
+        return axis
+    return None

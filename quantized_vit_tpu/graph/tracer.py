@@ -37,6 +37,12 @@ class TraceNode:
     inputs: Tuple[str, ...]       # producing node ids or param/input names
     param_names: Tuple[str, ...]  # params pytree paths consumed directly
     shape: Optional[Tuple[int, ...]] = None
+    # positional operands: producer node id / param path / "<arg>" for
+    # unlabeled function inputs / None for literals+consts. Lets analyses
+    # distinguish a conv's data operand from its weight operand even when
+    # the weight is a computed value (traced quantizer output — the
+    # situation graph.py:525-662 collapses in the reference).
+    arg_ids: Tuple[Optional[str], ...] = ()
 
     def __repr__(self):  # pragma: no cover - debugging aid
         return f"TraceNode({self.id}: {self.op} <- {list(self.inputs)})"
@@ -45,9 +51,13 @@ class TraceNode:
 class TracedGraph:
     """Dataflow DAG of primitive ops from one ``jax.make_jaxpr`` trace."""
 
-    def __init__(self, nodes: List[TraceNode]):
+    def __init__(self, nodes: List[TraceNode],
+                 output_ids: Optional[Sequence[str]] = None):
         self.nodes = nodes
         self.by_id = {n.id: n for n in nodes}
+        # producers of the traced function's actual outputs (graph.py:243-250
+        # dummy-output analogue); None for graphs built before tracing
+        self.output_ids: Tuple[str, ...] = tuple(output_ids or ())
 
     # -- construction -----------------------------------------------------
 
@@ -78,18 +88,25 @@ class TracedGraph:
                 op = eqn.primitive.name
                 inputs: List[str] = []
                 pnames: List[str] = []
+                arg_ids: List[Optional[str]] = []
                 for v in eqn.invars:
                     if hasattr(v, "val"):  # literal
+                        arg_ids.append(None)
                         continue
                     if v in var_labels:
                         pnames.append(var_labels[v])
                         inputs.append(var_labels[v])
+                        arg_ids.append(var_labels[v])
                     elif v in producer:
                         inputs.append(producer[v])
+                        arg_ids.append(producer[v])
+                    else:
+                        arg_ids.append("<arg>")
                 outshape = (tuple(eqn.outvars[0].aval.shape)
                             if eqn.outvars else None)
                 nodes.append(TraceNode(nid, op, tuple(inputs),
-                                       tuple(pnames), outshape))
+                                       tuple(pnames), outshape,
+                                       tuple(arg_ids)))
                 for v in eqn.outvars:
                     producer[v] = nid
                 # recurse into pjit/closed-call subjaxprs so the whole
@@ -112,7 +129,9 @@ class TracedGraph:
                             if iv in producer:
                                 producer[ov] = producer[iv]
         walk(closed.jaxpr, "")
-        return TracedGraph(nodes)
+        outputs = [producer[v] for v in closed.jaxpr.outvars
+                   if v in producer]
+        return TracedGraph(nodes, output_ids=outputs)
 
     # -- queries -----------------------------------------------------------
 

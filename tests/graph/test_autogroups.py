@@ -1,0 +1,182 @@
+"""Automatic pzig discovery from the jaxpr (graph/autogroups.py) vs the
+declarative family builders — the fixed point the reference's
+pruning_dependency.py partition computes (steps 1-10), reproduced by
+dataflow analysis with NO torch.jit/ONNX and no per-family declarations.
+
+Scope mirrors the reference: basic architectures (convnets with
+BN/residual/depthwise, MLPs) are discovered; composed attention stays
+declarative (the reference's COMPOSED_MODULES registry,
+operator.py:1422-1438) — on a ViT the discovery must degrade
+CONSERVATIVELY (unprunable, never wrong)."""
+
+import numpy as np
+import pytest
+
+import flax
+import jax
+import jax.numpy as jnp
+
+from quantized_vit_tpu.graph import (
+    discover_node_groups,
+    mobilenet_node_groups,
+    resnet_node_groups,
+    ultranet_node_groups,
+)
+from quantized_vit_tpu.models import (
+    QuantConfig,
+    UltraNet,
+    ViTConfig,
+    VisionTransformer,
+    mobilenet_small,
+    resnet8,
+    resnet20,
+)
+from quantized_vit_tpu.opt.groups import Transform
+
+
+def _init(model, shape=(1, 32, 32, 3)):
+    x = jnp.zeros(shape, jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x)
+    params = flax.core.unfreeze(v["params"])
+    stats = (flax.core.unfreeze(v["batch_stats"])
+             if "batch_stats" in v else None)
+    return params, stats, x
+
+
+def _content(groups):
+    """Comparable content: frozenset of (sorted entry paths+transforms,
+    num_groups, prunable) per group — ids are naming, not semantics."""
+    return {
+        (tuple(sorted((e.path, e.transform.value) for e in g.entries)),
+         g.num_groups, g.is_prunable)
+        for g in groups
+    }
+
+
+def test_ultranet_discovery_matches_declarative():
+    m = UltraNet()
+    params, stats, x = _init(m, (1, 32, 64, 3))
+    found = discover_node_groups(m, params, x, batch_stats=stats,
+                                 model_kwargs={"train": False})
+    assert _content(found) == _content(ultranet_node_groups(params))
+
+
+def test_mobilenet_discovery_matches_declarative_incl_depthwise_merge():
+    m = mobilenet_small()
+    params, stats, x = _init(m)
+    found = discover_node_groups(m, params, x, batch_stats=stats,
+                                 model_kwargs={"deterministic": True})
+    assert _content(found) == _content(mobilenet_node_groups(m.cfg, params))
+    # the depthwise kernels were merged into their producers (pzig step 7)
+    by_paths = {tuple(sorted(e.path for e in g.entries)): g for g in found}
+    stem = next(g for g in found
+                if any(e.path == "stem_conv/kernel" for e in g.entries))
+    assert any(e.path == "dw_0/kernel" for e in stem.entries)
+
+
+def test_resnet_discovery_matches_declarative_incl_residual_merge():
+    m = resnet8()
+    params, stats, x = _init(m)
+    found = discover_node_groups(m, params, x, batch_stats=stats,
+                                 model_kwargs={"deterministic": True})
+    assert _content(found) == _content(resnet_node_groups(m.cfg, params))
+
+
+def test_resnet20_streams_merge_all_blocks():
+    m = resnet20()
+    params, stats, x = _init(m)
+    found = discover_node_groups(m, params, x, batch_stats=stats,
+                                 model_kwargs={"deterministic": True})
+    assert _content(found) == _content(resnet_node_groups(m.cfg, params))
+    # each stage's stream spans conv2 of all 3 blocks (+ downsample)
+    stream1 = next(
+        g for g in found
+        if any(e.path == "stage1_block0/down_conv/kernel"
+               for e in g.entries))
+    kernels = {e.path for e in stream1.entries if e.path.endswith("kernel")}
+    assert kernels == {
+        "stage1_block0/conv2/kernel", "stage1_block0/down_conv/kernel",
+        "stage1_block1/conv2/kernel", "stage1_block2/conv2/kernel",
+    }
+
+
+def test_quantized_model_discovery_sees_through_fake_quant():
+    """LSFQ layers run the kernel through quantizer math before the conv —
+    the traced-quantizer situation the reference collapses
+    (graph.py:525-662); provenance-based stem detection must still find
+    every kernel and keep quant scalars out of the groups."""
+    from quantized_vit_tpu.models import init_quant_params_tree
+
+    m = resnet8(quant=QuantConfig(enabled=True))
+    params, stats, x = _init(m)
+    params = init_quant_params_tree(params, init_bits=8.0)
+    found = discover_node_groups(m, params, x, batch_stats=stats,
+                                 model_kwargs={"deterministic": True})
+    declared = resnet_node_groups(m.cfg, params)
+
+    def kernels_of(groups):
+        return {
+            tuple(sorted(e.path for e in g.entries
+                         if e.path.endswith("kernel")))
+            for g in groups
+        }
+
+    assert kernels_of(found) == kernels_of(declared)
+    for g in found:
+        for e in g.entries:
+            assert not e.path.rsplit("/", 1)[-1].startswith(
+                ("d_quant", "q_m", "t_quant")) or \
+                e.transform == Transform.NO_PRUNE
+
+
+def test_vit_discovery_is_conservative():
+    """Attention is a composed op (declarative builders); discovery must
+    never mark attention-coupled tensors prunable, while the per-block MLP
+    hidden group — a basic pattern — is still found prunable."""
+    cfg = ViTConfig(img_size=32, patch_size=16, embed_dim=48, depth=1,
+                    num_heads=2, num_classes=5)
+    m = VisionTransformer(cfg)
+    params, _, x = _init(m)
+    found = discover_node_groups(m, params, x)
+    by_kernel = {}
+    for g in found:
+        for e in g.entries:
+            by_kernel[e.path] = g
+    assert not by_kernel["blocks_0/attn/qkv/kernel"].is_prunable
+    assert not by_kernel["patch_embed/proj/kernel"].is_prunable
+    assert not by_kernel["head/kernel"].is_prunable
+    fc1 = by_kernel["blocks_0/mlp/fc1/kernel"]
+    assert fc1.is_prunable and fc1.num_groups == 192
+
+
+def test_discovered_groups_drive_hesso():
+    """Discovered groups are drop-in for the optimizers: HESSO reaches its
+    sparsity target on a MobileNet with zero declarations."""
+    from quantized_vit_tpu.opt import HESSO, HESSOConfig
+
+    m = mobilenet_small()
+    params, stats, x = _init(m)
+    groups = discover_node_groups(m, params, x, batch_stats=stats,
+                                  model_kwargs={"deterministic": True})
+    opt = HESSO(groups, params, HESSOConfig(
+        lr=1e-2, target_group_sparsity=0.3,
+        start_pruning_step=2, pruning_steps=6, pruning_periods=2))
+
+    def loss_fn(p):
+        y = m.apply({"params": p, "batch_stats": stats}, x,
+                    deterministic=True)
+        return jnp.mean(jnp.square(y))
+
+    p = params
+    for _ in range(12):
+        p = opt.step(p, jax.grad(loss_fn)(p))
+    # whole channel groups went to zero, incl. the merged depthwise kernels
+    zeroed = 0
+    for g in groups:
+        if not g.is_prunable:
+            continue
+        from quantized_vit_tpu.opt.groups import group_sq_norms
+
+        norms = np.asarray(group_sq_norms(g, p))
+        zeroed += int((norms == 0).sum())
+    assert zeroed > 0
