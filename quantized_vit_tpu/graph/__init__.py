@@ -1,7 +1,7 @@
 """Pruning-dependency graph layer: declarative node groups, cost model,
 and the OTO facade (SURVEY.md §2.3 graph/ + §7 item 4)."""
 
-from .autogroups import discover_node_groups
+from .autogroups import discover_node_groups, trace_cost_report
 from .builders import (
     mark_unprunable,
     autoencoder_node_groups,
@@ -20,6 +20,7 @@ from .tracer import TracedGraph, TraceNode, validate_node_groups
 __all__ = [
     "OTO",
     "discover_node_groups",
+    "trace_cost_report",
     "vit_node_groups",
     "resnet_node_groups",
     "autoencoder_node_groups",

@@ -319,6 +319,84 @@ def discover_node_groups(model, params, example_input,
     return groups
 
 
+def trace_cost_report(model, params, example_input,
+                      batch_stats=None,
+                      model_kwargs: Optional[dict] = None) -> Dict[str, Any]:
+    """Generic analytic cost report from the jaxpr trace — the
+    model-agnostic replacement for the reference's per-operator
+    compute_macs/bops (operator.py:274-288, 510-515) and its fvcore probe
+    (flops.py): per stem, MACs = prod(out_shape) * contraction size, BOPs =
+    MACs * w_bit * a_bit from the layer's learned quant scalars (32 when
+    absent). Shapes include the example batch; ``total_macs`` is
+    per-example (divided by the leading batch dim).
+    """
+    model_kwargs = dict(model_kwargs or {})
+    variables = {"params": params}
+    if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
+
+    def fn(params_arg, x):
+        v = dict(variables)
+        v["params"] = params_arg
+        return model.apply(v, x, **model_kwargs)
+
+    graph = TracedGraph.trace(fn, params, example_input, params=params)
+    shapes = _param_shapes(params)
+    batch = int(np.shape(example_input)[0]) or 1
+
+    provenance: Dict[str, Set[str]] = {}
+    for n in graph.nodes:
+        deps: Set[str] = set(n.param_names)
+        for src in n.inputs:
+            if src in provenance:
+                deps |= provenance[src]
+        provenance[n.id] = deps
+
+    def is_quant_scalar(path: str) -> bool:
+        name = path.rsplit("/", 1)[-1]
+        return name.startswith(("d_quant", "q_m", "t_quant"))
+
+    def operand_kernel(arg_id):
+        if arg_id is None or arg_id == "<arg>":
+            return None
+        deps = ({arg_id} if arg_id in shapes
+                else provenance.get(arg_id, set()))
+        kernels = [p for p in deps if len(shapes.get(p, ())) >= 2
+                   and not is_quant_scalar(p)]
+        return kernels[0] if len(kernels) == 1 else None
+
+    from .costs import _layer_bits
+
+    report: Dict[str, Any] = {"per_layer": {}, "total_macs": 0.0,
+                              "total_bops": 0.0}
+    for n in graph.nodes:
+        if n.op not in _STEM_OPS or len(n.arg_ids) < 2:
+            continue
+        kpath = (operand_kernel(n.arg_ids[1])
+                 or (operand_kernel(n.arg_ids[0])
+                     if n.op == "dot_general" else None))
+        if kpath is None or n.shape is None:
+            continue
+        kshape = shapes[kpath]
+        contraction = int(np.prod(kshape[:-1]))
+        macs = float(np.prod(n.shape)) * contraction / batch
+        layer = _layer_of(kpath)
+        w_bit, a_bit = _layer_bits(params, layer)
+        entry = report["per_layer"].setdefault(
+            layer, {"macs": 0.0, "bops": 0.0, "w_bit": w_bit,
+                    "a_bit": a_bit})
+        entry["macs"] += macs
+        entry["bops"] += macs * w_bit * a_bit
+        report["total_macs"] += macs
+        report["total_bops"] += macs * w_bit * a_bit
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    report["num_params"] = int(sum(
+        np.prod(np.shape(v)) for kp, v in flat
+        if not is_quant_scalar("/".join(str(getattr(k, "key", k))
+                                        for k in kp))))
+    return report
+
+
 def _axis_through(node: TraceNode, src_id: str, axis: int,
                   graph: TracedGraph) -> Optional[int]:
     """Where does ``axis`` of input ``src_id`` land in ``node``'s output?

@@ -43,10 +43,13 @@ class OTO:
         new_model, new_params = oto.construct_subnet(params)
     """
 
-    def __init__(self, model, params, batch_stats=None):
+    def __init__(self, model, params, batch_stats=None, example_input=None,
+                 model_kwargs=None):
         self.model = model
         self.params = params
         self.batch_stats = batch_stats
+        self._example_input = example_input
+        self._model_kwargs = model_kwargs
         if isinstance(model, VisionTransformer):
             self.kind = "vit"
             self.cfg: ViTConfig = model.cfg
@@ -72,10 +75,23 @@ class OTO:
             self.kind = "autoencoder"
             self.cfg = model.cfg
             self.node_groups = autoencoder_node_groups(self.cfg, params)
+        elif example_input is not None:
+            # unknown family: automatic pzig discovery from the jaxpr
+            # (autogroups.py — the reference's basic-module partition,
+            # pruning_dependency.py steps 1-10; composed/attention models
+            # should use their declarative builders instead)
+            from .autogroups import discover_node_groups
+
+            self.kind = "auto"
+            self.cfg = getattr(model, "cfg", None)
+            self.node_groups = discover_node_groups(
+                model, params, example_input, batch_stats=batch_stats,
+                model_kwargs=model_kwargs)
         else:
             raise ValueError(
                 f"no node-group builder registered for {type(model).__name__};"
-                " pass groups explicitly to GETA/HESSO")
+                " pass example_input= for automatic discovery, or pass "
+                "groups explicitly to GETA/HESSO")
         self._optimizer = None
 
     # ------------------------------------------------------------------
@@ -120,6 +136,12 @@ class OTO:
                                 construct_subnet_vit)
 
         params = self.params if params is None else params
+        if self.kind == "auto":
+            raise NotImplementedError(
+                "automatically discovered groups drive training-time "
+                "pruning (GETA/HESSO) and cost metrics; physical subnet "
+                "slicing needs a family constructor (compress/) because "
+                "in-dim links are family shape decisions")
         if self.kind == "vit":
             new_cfg, new_params = construct_subnet_vit(
                 self.cfg, params, self.node_groups)
@@ -161,6 +183,33 @@ class OTO:
 
     def _report(self, params=None) -> Dict[str, Any]:
         params = self.params if params is None else params
+        if self.kind == "auto":
+            from .autogroups import trace_cost_report
+
+            rep = trace_cost_report(
+                self.model, params, self._example_input,
+                batch_stats=self.batch_stats,
+                model_kwargs=self._model_kwargs)
+            # weight-size/avg-bit via the generic leaf walk (costs._finish
+            # needs the accumulating keys the family reports carry)
+            from .costs import _layer_bits, _leaf_sizes
+
+            sizes = _leaf_sizes(params)
+            quant_names = ("d_quant", "q_m_", "t_quant")
+            num_params = sum(v for k, v in sizes.items()
+                             if not any(q in k for q in quant_names))
+            bits = 0.0
+            counted = 0
+            for layer in rep["per_layer"]:
+                ksize = sizes.get(f"{layer}/kernel", 0)
+                w_bit, _ = _layer_bits(params, layer)
+                bits += ksize * w_bit
+                counted += ksize
+            bits += (num_params - counted) * 32.0
+            rep["num_params"] = num_params
+            rep["weight_size_bits"] = bits
+            rep["average_bit_width"] = bits / max(num_params, 1)
+            return rep
         if self.kind == "vit":
             return vit_cost_report(self.cfg, params)
         if self.kind == "mobilenet":

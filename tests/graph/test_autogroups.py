@@ -180,3 +180,58 @@ def test_discovered_groups_drive_hesso():
         norms = np.asarray(group_sq_norms(g, p))
         zeroed += int((norms == 0).sum())
     assert zeroed > 0
+
+
+def test_oto_facade_auto_discovery_on_custom_model():
+    """OTO(model, params, example_input=...) works for a model with NO
+    registered family: discovery (incl. residual merge), generic
+    trace-based cost metrics, and HESSO — zero declarations."""
+    import flax.linen as nn
+
+    from quantized_vit_tpu.graph import OTO
+    from quantized_vit_tpu.opt.groups import group_sq_norms
+
+    class CustomNet(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Conv(12, (3, 3), name="c1")(x)
+            x = nn.relu(x)
+            skip = x
+            x = nn.Conv(12, (3, 3), name="c2")(x)
+            x = nn.relu(x + skip)          # residual
+            x = jnp.mean(x, axis=(1, 2))
+            x = nn.Dense(24, name="d1")(x)
+            x = nn.tanh(x)
+            return nn.Dense(4, name="out")(x)
+
+    m = CustomNet()
+    x = jnp.zeros((2, 16, 16, 3), jnp.float32)
+    params = flax.core.unfreeze(m.init(jax.random.PRNGKey(0), x)["params"])
+    oto = OTO(m, params, example_input=x)
+
+    by_kernel = {e.path: g for g in oto.node_groups for e in g.entries}
+    # residual merged c1 and c2 into one group
+    assert by_kernel["c1/kernel"] is by_kernel["c2/kernel"]
+    assert by_kernel["d1/kernel"].is_prunable
+    assert not by_kernel["out/kernel"].is_prunable
+
+    # generic trace-based cost model: exact analytic MACs
+    # c1 16*16*9*3*12 + c2 16*16*9*12*12 + d1 12*24 + out 24*4
+    assert oto.compute_macs(params) == 82944 + 331776 + 288 + 96
+    assert oto.compute_num_params(params) == 2056
+    assert oto.compute_average_bit_width(params) == pytest.approx(32.0)
+
+    opt = oto.hesso(lr=1e-2, target_group_sparsity=0.25,
+                    start_pruning_step=2, pruning_steps=6,
+                    pruning_periods=2)
+    p = params
+    for _ in range(10):
+        g = jax.grad(
+            lambda q: jnp.mean(jnp.square(m.apply({"params": q}, x))))(p)
+        p = opt.step(p, g)
+    zeroed = sum(int((np.asarray(group_sq_norms(g, p)) == 0).sum())
+                 for g in oto.node_groups if g.is_prunable)
+    assert zeroed > 0
+
+    with pytest.raises(NotImplementedError):
+        oto.construct_subnet(p)
