@@ -89,3 +89,36 @@ def test_nonuniform_bits_mixed_precision_export():
     y_fake = np.asarray(model.apply({"params": params}, x))
     y_int = np.asarray(vit_int4_forward(art, x, cfg, use_pallas=False))
     np.testing.assert_allclose(y_int, y_fake, rtol=2e-3, atol=2e-3)
+
+
+def test_sharded_serving_matches_unsharded():
+    """TP-sharded serving (BASELINE.json config 5's single-host slice of
+    the story): the artifact loads with column/row-parallel NamedShardings
+    over the 'model' mesh axis + data sharded over 'data'; GSPMD partitions
+    the same forward and the logits must match the unsharded run exactly."""
+    import tempfile
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from quantized_vit_tpu.artifact import (
+        load_vit_int4_artifact,
+        save_vit_int4_artifact,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+
+    cfg, model, params, x = _build(4.0)
+    art = export_vit_int4(cfg, params)
+    y_ref = np.asarray(vit_int4_forward(art, x, cfg, use_pallas=False))
+
+    with tempfile.TemporaryDirectory() as d:
+        save_vit_int4_artifact(d, art, cfg)
+        mesh = Mesh(np.array(jax.devices()).reshape(2, 4),
+                    axis_names=("data", "model"))
+        art_sh, cfg_sh = load_vit_int4_artifact(d, mesh=mesh)
+        x_sh = jax.device_put(x, NamedSharding(mesh, P("data")))
+        with mesh:
+            y_sh = np.asarray(
+                vit_int4_forward(art_sh, x_sh, cfg_sh, use_pallas=False))
+    np.testing.assert_allclose(y_sh, y_ref, rtol=1e-5, atol=1e-5)
