@@ -318,30 +318,34 @@ def construct_subnet_transformer(
     expansion — the reference's BaseMultiHeadAttentionOTO head-idx -> dim-idx
     expansion, operator.py:920-950), proj's in-dim follows those heads, and
     fc2's in-dim follows fc1's kept hidden units (the fc2<-fc1 link,
-    pruning_compression.py:227-241). Returns (new config, new params).
+    pruning_compression.py:227-241). Under grouped-query attention the
+    prunable unit is the KV head: q and proj expand each kept kv group to
+    its q_per_kv*head_dim run, k/v to head_dim. Returns (new config, new
+    params) — ``heads_per_block`` stays in QUERY heads.
     """
     import dataclasses as _dc
 
     by_id = {g.id: g for g in groups}
     heads_pb: List[int] = []
     hidden_pb: List[int] = []
+    kv = cfg.kv_heads if hasattr(cfg, "kv_heads") else cfg.num_heads
+    g_ratio = cfg.num_heads // kv
 
     for i in range(cfg.depth):
         attn_g = by_id.get(f"blocks_{i}/attn")
         if attn_g is not None and attn_g.is_prunable:
-            kept_h = kept_groups(attn_g, params)
+            kept_h = kept_groups(attn_g, params)  # kv-head indices
         else:
-            kept_h = np.arange(cfg.num_heads)
-        heads_pb.append(len(kept_h))
+            kept_h = np.arange(kv)
+        heads_pb.append(len(kept_h) * g_ratio)
         for nm in ("q", "k", "v"):
             layer = f"blocks_{i}/attn/{nm}"
             out_dim = get_path(params, f"{layer}/kernel").shape[-1]
             out_idx = kept_indices_for_axis(kept_h, Transform.HEADS,
-                                            out_dim, cfg.num_heads)
+                                            out_dim, kv)
             params = _slice_layer_out(params, layer, out_idx)
         in_dim = get_path(params, f"blocks_{i}/attn/proj/kernel").shape[0]
-        in_idx = kept_indices_for_axis(kept_h, Transform.HEADS, in_dim,
-                                       cfg.num_heads)
+        in_idx = kept_indices_for_axis(kept_h, Transform.HEADS, in_dim, kv)
         params = _slice_layer_in(params, f"blocks_{i}/attn/proj", in_idx)
 
         mlp_g = by_id.get(f"blocks_{i}/mlp")

@@ -298,6 +298,12 @@ def transformer_node_groups(cfg, params) -> List[NodeGroup]:
         num_groups=cfg.embed_dim, is_prunable=False,
     ))
 
+    # GQA (models/transformer.py num_kv_heads): the prunable unit is the KV
+    # head — its q_per_kv query heads live or die with it, so all three
+    # projections group at KV granularity (q's groups are contiguous
+    # q_per_kv*head_dim runs, which is exactly Transform.HEADS with
+    # num_heads=kv). MHA is the kv == num_heads special case.
+    kv = cfg.kv_heads if hasattr(cfg, "kv_heads") else cfg.num_heads
     for i in range(cfg.depth):
         entries: List[ParamEntry] = []
         for nm in ("q", "k", "v"):
@@ -311,7 +317,7 @@ def transformer_node_groups(cfg, params) -> List[NodeGroup]:
                                               Transform.NO_PRUNE))
         groups.append(NodeGroup(
             id=f"blocks_{i}/attn", entries=entries,
-            num_groups=cfg.num_heads, num_heads=cfg.num_heads,
+            num_groups=kv, num_heads=kv,
             is_prunable=True,
         ))
         groups.append(NodeGroup(

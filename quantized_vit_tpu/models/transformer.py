@@ -43,11 +43,27 @@ class TransformerConfig:
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     causal: bool = False           # decoder-style masking (Llama-like)
+    # grouped-query attention: q has num_heads, k/v have num_kv_heads and
+    # each kv head serves num_heads/num_kv_heads query heads (Llama-2/3
+    # style). None = standard MHA. Pruning granularity becomes the KV head:
+    # dropping one removes its whole query group.
+    num_kv_heads: Optional[int] = None
+    rope: bool = False             # rotary position embeddings on q/k
     drop_ratio: float = 0.0
     quant: QuantConfig = QuantConfig.off()
     # Per-block overrides for compressed subnets (compress/)
     heads_per_block: Optional[Tuple[int, ...]] = None
     hidden_per_block: Optional[Tuple[int, ...]] = None
+
+    @property
+    def kv_heads(self) -> int:
+        return self.num_kv_heads or self.num_heads
+
+    @property
+    def q_per_kv(self) -> int:
+        if self.num_heads % self.kv_heads:
+            raise ValueError("num_heads must divide by num_kv_heads")
+        return self.num_heads // self.kv_heads
 
     def block_heads(self, i: int) -> int:
         return (self.heads_per_block[i] if self.heads_per_block is not None
@@ -58,12 +74,31 @@ class TransformerConfig:
                 else int(self.embed_dim * self.mlp_ratio))
 
 
+def rope_rotate(x, positions, base: float = 10000.0):
+    """Rotary position embedding (Llama-style rotate-half) on [..., N, H, hd].
+
+    Applied per head to q/k before the score matmul; elementwise within a
+    head, so head-granular pruning passes through unchanged."""
+    hd = x.shape[-1]
+    half = hd // 2
+    freqs = base ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    ang = positions[:, None].astype(jnp.float32) * freqs[None, :]  # [N, hd/2]
+    cos = jnp.cos(ang)[None, :, None, :]
+    sin = jnp.sin(ang)[None, :, None, :]
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    ).astype(x.dtype)
+
+
 class SeparateQKVAttention(nn.Module):
-    """Multi-head attention with three independent projections (Bert-style).
+    """Multi-head attention with three independent projections (Bert-style),
+    optional grouped-query attention and RoPE (Llama-style).
 
     Head pruning removes whole heads but keeps head_dim, exactly like the
     reference's BaseMultiHeadAttentionOTO prune_mode='num_head'
-    (operator.py:896-950)."""
+    (operator.py:896-950); under GQA the prunable unit is the KV head with
+    its whole query group."""
 
     cfg: TransformerConfig
     num_heads: Optional[int] = None  # per-block override (compressed subnets)
@@ -74,22 +109,32 @@ class SeparateQKVAttention(nn.Module):
         b, n, dim = x.shape
         heads = self.num_heads if self.num_heads is not None else c.num_heads
         head_dim = c.embed_dim // c.num_heads  # original head_dim survives
+        g = c.q_per_kv
+        kv_heads = heads // g
         scale = head_dim**-0.5
 
-        def proj(name):
-            y = QuantDense(features=heads * head_dim, config=c.quant,
+        def proj(name, nh):
+            y = QuantDense(features=nh * head_dim, config=c.quant,
                            use_bias=c.qkv_bias, name=name)(x)
-            return y.reshape(b, n, heads, head_dim)
+            return y.reshape(b, n, nh, head_dim)
 
-        q, k, v = proj("q"), proj("k"), proj("v")
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
+        q = proj("q", heads)
+        k = proj("k", kv_heads)
+        v = proj("v", kv_heads)
+        if c.rope:
+            pos = jnp.arange(n)
+            q = rope_rotate(q, pos)
+            k = rope_rotate(k, pos)
+        # group query heads onto their kv head: [B, N, KV, G, hd]
+        q = q.reshape(b, n, kv_heads, g, head_dim)
+        attn = jnp.einsum("bnkgd,bmkd->bkgnm", q, k) * scale
         if mask is not None:
-            attn = jnp.where(mask, attn, -1e30)
+            attn = jnp.where(mask[:, :, None], attn, -1e30)
         if c.causal:
             causal = jnp.tril(jnp.ones((n, n), bool))
-            attn = jnp.where(causal[None, None], attn, -1e30)
+            attn = jnp.where(causal[None, None, None], attn, -1e30)
         attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+        out = jnp.einsum("bkgnm,bmkd->bnkgd", attn, v)
         out = out.reshape(b, n, heads * head_dim)
         out = QuantDense(features=dim, config=c.quant, name="proj")(out)
         return nn.Dropout(rate=c.drop_ratio)(out, deterministic=deterministic)

@@ -136,3 +136,95 @@ def test_geta_step_and_costs(setup):
                      for m in cfg2.hidden_per_block))
     assert shrunk
     assert oto.compute_macs(new_params) < macs0
+
+
+# ---------------------------------------------------------------------------
+# GQA + RoPE (Llama-style; the reference's LlamaAttention row extended)
+# ---------------------------------------------------------------------------
+
+GQA_CFG = TransformerConfig(vocab_size=101, max_len=16, embed_dim=32,
+                            depth=2, num_heads=4, num_kv_heads=2,
+                            num_classes=3, causal=True, rope=True,
+                            quant=QuantConfig(enabled=True))
+
+
+@pytest.fixture(scope="module")
+def gqa_setup():
+    model = TransformerEncoder(GQA_CFG)
+    rng = np.random.default_rng(1)
+    tokens = jnp.array(rng.integers(0, GQA_CFG.vocab_size, (2, 16)))
+    params = flax.core.unfreeze(
+        model.init(jax.random.PRNGKey(0), tokens)["params"])
+    return model, params, tokens
+
+
+def test_gqa_kv_projection_shapes(gqa_setup):
+    model, params, tokens = gqa_setup
+    hd = GQA_CFG.embed_dim // GQA_CFG.num_heads
+    a = params["blocks_0"]["attn"]
+    assert a["q"]["kernel"].shape[-1] == GQA_CFG.num_heads * hd
+    assert a["k"]["kernel"].shape[-1] == GQA_CFG.num_kv_heads * hd
+    assert a["v"]["kernel"].shape[-1] == GQA_CFG.num_kv_heads * hd
+    y = model.apply({"params": params}, tokens)
+    assert y.shape == (2, 3) and np.isfinite(np.asarray(y)).all()
+
+
+def test_rope_rotation_properties():
+    """rope_rotate: identity at position 0, norm-preserving, and the
+    defining relative-position property <R_m q, R_n k> = f(q, k, m - n)."""
+    from quantized_vit_tpu.models.transformer import rope_rotate
+
+    rng = np.random.default_rng(0)
+    x = jnp.array(rng.standard_normal((1, 6, 2, 8)), jnp.float32)
+    pos = jnp.arange(6)
+    r = rope_rotate(x, pos)
+    # position 0 is untouched
+    np.testing.assert_allclose(np.asarray(r[:, 0]), np.asarray(x[:, 0]),
+                               rtol=1e-6)
+    # rotation preserves vector norms
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(r), axis=-1),
+        np.linalg.norm(np.asarray(x), axis=-1), rtol=1e-5)
+    # relative property: shifting both positions by s leaves scores alone
+    q = jnp.array(rng.standard_normal((1, 6, 2, 8)), jnp.float32)
+    k = jnp.array(rng.standard_normal((1, 6, 2, 8)), jnp.float32)
+    s1 = np.einsum("bnhd,bmhd->bhnm", rope_rotate(q, pos),
+                   rope_rotate(k, pos))
+    s2 = np.einsum("bnhd,bmhd->bhnm", rope_rotate(q, pos + 3),
+                   rope_rotate(k, pos + 3))
+    np.testing.assert_allclose(s1, s2, rtol=1e-4, atol=1e-5)
+    # ...and absolute positions DO matter (not the identity map)
+    assert np.abs(np.asarray(r[:, 1:]) - np.asarray(x[:, 1:])).max() > 0.1
+
+
+def test_gqa_node_groups_at_kv_granularity(gqa_setup):
+    model, params, tokens = gqa_setup
+    groups = {g.id: g for g in transformer_node_groups(GQA_CFG, params)}
+    attn = groups["blocks_0/attn"]
+    assert attn.num_groups == GQA_CFG.num_kv_heads
+    assert attn.num_heads == GQA_CFG.num_kv_heads
+
+
+def test_gqa_prune_compress_is_lossless(gqa_setup):
+    """Zeroing one KV head (and its query group) then slicing must preserve
+    the forward exactly; heads_per_block stays in query heads."""
+    model, params, tokens = gqa_setup
+    params = init_quant_params_tree(params, init_bits=8.0)
+    oto = OTO(model, params)
+    sparse = oto.random_set_zero_groups(
+        params, target_group_sparsity=0.5, num_group_divisible=1, seed=5)
+    y_sparse = np.asarray(model.apply({"params": sparse}, tokens))
+
+    new_model, new_params = oto.construct_subnet(sparse)
+    cfg2 = new_model.cfg
+    hd = GQA_CFG.embed_dim // GQA_CFG.num_heads
+    g = GQA_CFG.num_heads // GQA_CFG.num_kv_heads
+    assert any(h < GQA_CFG.num_heads for h in cfg2.heads_per_block)
+    for i, h_i in enumerate(cfg2.heads_per_block):
+        assert h_i % g == 0  # whole kv groups only
+        a = new_params[f"blocks_{i}"]["attn"]
+        assert a["q"]["kernel"].shape[-1] == h_i * hd
+        assert a["k"]["kernel"].shape[-1] == (h_i // g) * hd
+        assert a["proj"]["kernel"].shape[0] == h_i * hd
+    y_new = np.asarray(new_model.apply({"params": new_params}, tokens))
+    np.testing.assert_allclose(y_new, y_sparse, rtol=1e-4, atol=1e-4)
