@@ -107,5 +107,10 @@ def build_datasets(args) -> Tuple:
             return (ArrayDataset(z["train_images"], z["train_labels"]),
                     ArrayDataset(z["test_images"], z["test_labels"]))
     tp, tl, vp, vl = read_split_data(args.data_path)
-    return (ImageFolderDataset(tp, tl, img_size=args.img_size),
-            ImageFolderDataset(vp, vl, img_size=args.img_size))
+    # fused native u8->normalized-f32 batch prep (train.py:227-231 uses
+    # Normalize(0.5, 0.5, 0.5) for CIFAR-style drivers)
+    norm = (np.full(3, 0.5, np.float32), np.full(3, 0.5, np.float32))
+    return (ImageFolderDataset(tp, tl, img_size=args.img_size,
+                               normalize=norm),
+            ImageFolderDataset(vp, vl, img_size=args.img_size,
+                               normalize=norm))

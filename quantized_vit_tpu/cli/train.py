@@ -86,12 +86,16 @@ def main(argv=None):
     from ..graph import OTO
     from ..models import QuantConfig, init_quant_params_tree
     from ..opt.checkpoint import load_checkpoint, save_checkpoint
-    from ..utils import ArrayDataset, DataLoader, TrainLoop, evaluate
+    from ..utils import (ArrayDataset, DataLoader, PrefetchLoader, TrainLoop,
+                         evaluate)
 
     train_ds, val_ds = build_datasets(args)
-    train_loader = DataLoader(train_ds, args.batch_size, shuffle=True,
-                              seed=args.seed)
-    val_loader = DataLoader(val_ds, args.batch_size, pad_last=True)
+    # background-thread prefetch overlaps native batch prep with the device
+    # step (the reference's DataLoader num_workers, train.py:278)
+    train_loader = PrefetchLoader(DataLoader(
+        train_ds, args.batch_size, shuffle=True, seed=args.seed))
+    val_loader = PrefetchLoader(DataLoader(val_ds, args.batch_size,
+                                           pad_last=True))
     steps_per_epoch = max(len(train_loader), 1)
 
     # model wrapped with learned-scale quantizers at 32 bits

@@ -14,6 +14,12 @@ from .losses import (
     kd_loss,
     group_lasso_loss,
 )
+from .native_prep import (
+    PrefetchLoader,
+    gather_rows,
+    native_prep_available,
+    normalize_u8_batch,
+)
 from .data import (
     ArrayDataset,
     ImageFolderDataset,
@@ -36,6 +42,10 @@ __all__ = [
     "DataLoader",
     "read_split_data",
     "normalize_image",
+    "PrefetchLoader",
+    "gather_rows",
+    "native_prep_available",
+    "normalize_u8_batch",
     "NonFiniteLossError",
     "all_finite",
     "assert_tree_finite",

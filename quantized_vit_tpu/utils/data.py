@@ -78,6 +78,10 @@ class ArrayDataset:
         return len(self.images)
 
     def get(self, idx: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        if self.images.dtype == np.float32:
+            from .native_prep import gather_rows
+
+            return gather_rows(self.images, idx), self.labels[idx]
         return self.images[idx], self.labels[idx]
 
 
@@ -91,29 +95,43 @@ class ImageFolderDataset:
 
     def __init__(self, paths: Sequence[str], labels: Sequence[int],
                  img_size: int = 224,
-                 transform: Optional[Callable[[np.ndarray], np.ndarray]] = None):
+                 transform: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+                 normalize: Optional[Tuple[np.ndarray, np.ndarray]] = None):
         assert len(paths) == len(labels)
         self.paths = list(paths)
         self.labels = np.asarray(labels, np.int32)
         self.img_size = img_size
         self.transform = transform
+        # (mean, std): decode stays uint8 and the whole batch normalizes in
+        # one fused native pass (utils/native_prep.py) — the C++ analogue of
+        # the reference's DataLoader-worker transforms (train.py:278)
+        self.normalize = normalize
 
     def __len__(self):
         return len(self.paths)
 
-    def _load(self, path: str) -> np.ndarray:
+    def _decode_u8(self, path: str) -> np.ndarray:
         from PIL import Image
 
         img = Image.open(path)
         if img.mode != "RGB":
             raise ValueError(f"image: {path} isn't RGB mode.")
         img = img.resize((self.img_size, self.img_size), Image.BILINEAR)
-        x = np.asarray(img, np.float32) / 255.0
+        return np.asarray(img, np.uint8)
+
+    def _load(self, path: str) -> np.ndarray:
+        x = self._decode_u8(path).astype(np.float32) / 255.0
         if self.transform is not None:
             x = self.transform(x)
         return x
 
     def get(self, idx: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        if self.normalize is not None and self.transform is None:
+            from .native_prep import normalize_u8_batch
+
+            xs_u8 = np.stack([self._decode_u8(self.paths[i]) for i in idx])
+            return (normalize_u8_batch(xs_u8, *self.normalize),
+                    self.labels[idx])
         xs = np.stack([self._load(self.paths[i]) for i in idx])
         return xs, self.labels[idx]
 
