@@ -97,7 +97,14 @@ class ContinuousBatcher:
     # ------------------------------------------------------------------
 
     def _collect(self) -> List:
-        """Block for the first request, then drain until a flush condition."""
+        """Block for the first request, then drain until a flush condition.
+
+        Already-queued requests are drained unconditionally (a backlog older
+        than max_delay must still form FULL batches — otherwise a burst
+        degenerates into size-1 batches the moment the queue ages past the
+        deadline); max_delay only bounds the wait for requests that haven't
+        arrived yet.
+        """
         try:
             first = self._q.get(timeout=0.05)
         except queue.Empty:
@@ -105,6 +112,11 @@ class ContinuousBatcher:
         pending = [first]
         deadline = first[2] + self.max_delay_s
         while len(pending) < self.max_batch:
+            try:
+                pending.append(self._q.get_nowait())
+                continue
+            except queue.Empty:
+                pass
             remaining = deadline - time.monotonic()
             if remaining <= 0:
                 break

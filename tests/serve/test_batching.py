@@ -102,3 +102,33 @@ def test_vit_int4_artifact_through_batcher_matches_direct():
         futs = [b.submit(imgs[i]) for i in range(6)]
         got = np.stack([f.result(timeout=60) for f in futs])
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_backlog_forms_full_batches():
+    """Regression: requests older than max_delay must still batch together
+    — the age-based deadline only bounds waiting for FUTURE requests. (A
+    256-request burst on TPU previously degenerated to size-1 batches at 28
+    rps once the queue aged past the 5ms deadline.)"""
+    import numpy as np
+
+    from quantized_vit_tpu.serve import ContinuousBatcher
+
+    calls = []
+
+    def forward(images):
+        calls.append(len(images))
+        return np.zeros((len(images), 4), np.float32)
+
+    b = ContinuousBatcher(forward, max_batch=8, max_delay_ms=1.0)
+    x = np.zeros((4, 4, 3), np.float32)
+    # enqueue a burst BEFORE starting the worker: everything is already
+    # older than max_delay when collection begins
+    futs = [b.submit(x) for _ in range(32)]
+    import time
+
+    time.sleep(0.05)
+    with b:
+        for f in futs:
+            f.result(timeout=30)
+    assert max(calls) == 8            # full batches formed
+    assert calls.count(8) >= 3
