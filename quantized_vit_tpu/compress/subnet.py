@@ -411,16 +411,28 @@ def construct_subnet_autoencoder(
                              _take(get_path(p, f"{gn}/{nm}"), idx, 0))
         return p, idx, len(kg)
 
+    skip = bool(getattr(cfg, "skip_concat", False))
+    enc_idx: List[np.ndarray] = []
     for i in range(len(cfg.widths)):
         params, prev_idx, n_kept = process(
             f"enc_{i}", f"enc_gn_{i}", cfg.enc_groups(i), params, prev_idx)
         enc_widths.append(len(prev_idx))
         enc_groups.append(n_kept)
+        enc_idx.append(prev_idx)
+    n_enc = len(cfg.widths)
     for i in range(len(cfg.decoder_widths)):
         params, prev_idx, n_kept = process(
             f"dec_{i}", f"dec_gn_{i}", cfg.dec_groups(i), params, prev_idx)
         dec_widths.append(len(prev_idx))
         dec_groups.append(n_kept)
+        mirror = n_enc - 2 - i
+        if skip and mirror >= 0:
+            # concat-fed in-dim: [kept(dec_i), offset + kept(enc_mirror)]
+            # — the reference's auxiliary-group offset bookkeeping
+            # (node_group.py:241-254). The offset is THIS decoder stage's
+            # original (pre-slice) width, the concat segment boundary.
+            offset = cfg.decoder_widths[i]
+            prev_idx = np.concatenate([prev_idx, offset + enc_idx[mirror]])
     params = _slice_layer_in(params, "out_conv", prev_idx)
 
     new_cfg = dataclasses.replace(

@@ -43,6 +43,14 @@ class AutoencoderConfig:
     quant: QuantConfig = QuantConfig.off()
     # Compressed-subnet overrides (None = dense model): decoder widths and
     # per-stage norm group counts.
+    # U-Net-style skip connections: decoder stage j's output concatenates
+    # with the spatially-matched encoder feature before feeding the next
+    # decoder conv — the concat-fed in-dim wiring of the reference's
+    # auxiliary groups (pruning_dependency.py:152-201 step 8,
+    # node_group.py:241-254 offset bookkeeping), exercised at compression
+    # time by slicing each segment with its producer's kept indices plus
+    # the segment offset.
+    skip_concat: bool = False
     dec_widths: Optional[Tuple[int, ...]] = None
     enc_norm_groups: Optional[Tuple[int, ...]] = None
     dec_norm_groups: Optional[Tuple[int, ...]] = None
@@ -73,6 +81,7 @@ class ConvAutoencoder(nn.Module):
     def __call__(self, x):
         c = self.cfg
         ks = (c.kernel_size, c.kernel_size)
+        feats = []
         for i, w in enumerate(c.widths):
             x = QuantConv(features=w, kernel_size=ks, strides=(2, 2),
                           padding="SAME", config=c.quant, use_bias=False,
@@ -80,6 +89,8 @@ class ConvAutoencoder(nn.Module):
             x = nn.GroupNorm(num_groups=c.enc_groups(i),
                              name=f"enc_gn_{i}")(x)
             x = nn.gelu(x)
+            feats.append(x)
+        n_enc = len(c.widths)
         for i, w in enumerate(c.decoder_widths):
             x = QuantConvTranspose(features=w, kernel_size=ks,
                                    strides=(2, 2), padding="SAME",
@@ -88,6 +99,9 @@ class ConvAutoencoder(nn.Module):
             x = nn.GroupNorm(num_groups=c.dec_groups(i),
                              name=f"dec_gn_{i}")(x)
             x = nn.gelu(x)
+            mirror = n_enc - 2 - i
+            if c.skip_concat and mirror >= 0:
+                x = jnp.concatenate([x, feats[mirror]], axis=-1)
         x = QuantConv(features=c.in_channels, kernel_size=(1, 1),
                       padding="VALID", config=c.quant, name="out_conv")(x)
         return x

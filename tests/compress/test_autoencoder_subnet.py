@@ -108,3 +108,43 @@ def test_autoencoder_instance_norm_case():
     dense_out = ConvAutoencoder(new_cfg).apply({"params": new_params}, x)
     np.testing.assert_allclose(np.asarray(dense_out), np.asarray(sparse_out),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_unet_skip_concat_compress_is_lossless():
+    """U-Net concat skips: the concat-fed decoder in-dims slice with
+    per-segment offsets (the reference's auxiliary-group wiring,
+    pruning_dependency.py step 8 / node_group.py:241-254). Zero groups in
+    BOTH producers of a concat, slice, and the forward must be exact."""
+    cfg = AutoencoderConfig(widths=(8, 16, 16), norm_groups=4, in_channels=3,
+                            skip_concat=True)
+    model = ConvAutoencoder(cfg)
+    x = jnp.array(np.random.default_rng(2).standard_normal((2, 16, 16, 3)),
+                  jnp.float32)
+    params = flax.core.unfreeze(model.init(jax.random.PRNGKey(0), x)["params"])
+    # dec_0 input = bottleneck; dec_0 out concats with enc_1, dec_1 out
+    # concats with enc_0
+    assert params["dec_1"]["kernel"].shape[-2] == \
+        cfg.decoder_widths[0] + cfg.widths[1]
+
+    groups = autoencoder_node_groups(cfg, params)
+    by_id = {g.id: g for g in groups}
+    # prune one norm group from each concat producer + a decoder stage
+    params = _zero_groups(params, by_id["enc_0"], [1])
+    params = _zero_groups(params, by_id["enc_1"], [0, 3])
+    params = _zero_groups(params, by_id["dec_0"], [2])
+
+    sparse_out = model.apply({"params": params}, x)
+    new_cfg, new_params = construct_subnet_autoencoder(cfg, params, groups)
+    assert new_cfg.widths == (6, 8, 16)
+    # concat-fed in-dims shrank by BOTH producers' cuts (dec_2 is the last
+    # stage: mirror < 0, so out_conv sees no concat)
+    assert new_params["dec_1"]["kernel"].shape[-2] == \
+        new_cfg.dec_widths[0] + new_cfg.widths[1]
+    assert new_params["dec_2"]["kernel"].shape[-2] == \
+        new_cfg.dec_widths[1] + new_cfg.widths[0]
+    assert new_params["out_conv"]["kernel"].shape[-2] == \
+        new_cfg.dec_widths[2]
+
+    dense_out = ConvAutoencoder(new_cfg).apply({"params": new_params}, x)
+    np.testing.assert_allclose(np.asarray(dense_out),
+                               np.asarray(sparse_out), rtol=1e-5, atol=1e-5)
