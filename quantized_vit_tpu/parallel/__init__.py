@@ -1,6 +1,10 @@
 """Mesh construction, GSPMD partition rules (DP x TP), pipeline (PP),
 multi-host init and collective health checks."""
 
+from .collectives import (
+    dp_all_reduce_grads,
+    quantized_ring_all_reduce,
+)
 from .distributed import (
     HealthCheckError,
     HealthReport,
@@ -25,6 +29,8 @@ from .pipeline import (
 )
 
 __all__ = [
+    "dp_all_reduce_grads",
+    "quantized_ring_all_reduce",
     "HealthCheckError",
     "HealthReport",
     "assert_same_step",
