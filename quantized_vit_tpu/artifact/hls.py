@@ -154,8 +154,29 @@ class HLSLayer:
                 bias: Optional[np.ndarray] = None):
         # flax HWIO -> [O, K, K, I] -> [O, K*K*I]
         okki = np.moveaxis(np.asarray(kernel_int), -1, 0)
-        flat = okki.reshape(okki.shape[0], -1)
-        words = pack_words(flat, self.entry["w_bit"], self.simd)
+        return self._finish(okki.reshape(okki.shape[0], -1), inc, bias)
+
+    def process_linear(self, kernel_int: np.ndarray,
+                       inc: Optional[np.ndarray] = None,
+                       bias: Optional[np.ndarray] = None,
+                       after_conv_shape: Optional[tuple] = None):
+        """Dense layer path (QNNLayerMemProcess.linear, qnn_mem_process.py:
+        194-218). flax kernels are [in, out] -> [O, I]; when the previous
+        layer was a conv, ``after_conv_shape`` = that conv's output
+        [H, W, C] (flax order) so the flattened in-dim reorders from the
+        torch [C, H, W] flatten to the hardware's [H, W, C] stream order —
+        with flax inputs the flatten is ALREADY [H, W, C]-major, so no
+        reorder is needed and the arg only validates the length."""
+        w = np.asarray(kernel_int).T  # [O, I]
+        if after_conv_shape is not None:
+            h, wd, c = after_conv_shape
+            if w.shape[1] != h * wd * c:
+                raise ValueError(
+                    f"in-dim {w.shape[1]} != prod{after_conv_shape}")
+        return self._finish(w, inc, bias)
+
+    def _finish(self, flat_oi: np.ndarray, inc, bias):
+        words = pack_words(flat_oi, self.entry["w_bit"], self.simd)
         self.w = tile_pe(words, self.pe)
         self.w_tiles = len(self.w[0])
         if not self.last:
@@ -176,6 +197,8 @@ class HLSLayer:
 
     def config_str(self) -> str:
         e = self.entry
+        if "in_len" in e:
+            return self._linear_config_str()
         res = f"// {self.name}\n"
         for key, val in (("K", e["k"]), ("S", e["s"]), ("P", e["p"])):
             res += config_macro(self.name, key, val)
@@ -198,6 +221,30 @@ class HLSLayer:
             res += config_macro(self.name, "A_TILES", self.a_tiles)
         res += config_macro(self.name, "L_SHIFT", e["l_shift"])
         res += "\n"
+        return res
+
+    def _linear_config_str(self) -> str:
+        """linear_config_str / last_linear_config_str formats
+        (qnn_mem_process.py:408-446): last_linear omits OUT/INC/BIAS bits,
+        the tile counts, and the trailing blank line."""
+        e = self.entry
+        res = f"// {self.name}\n"
+        res += config_macro(self.name, "IN_LEN", e["in_len"])
+        res += config_macro(self.name, "OUT_LEN", e["out_len"])
+        res += config_macro(self.name, "SIMD", self.simd)
+        res += config_macro(self.name, "PE", self.pe)
+        res += config_macro(self.name, "IN_BIT", e["in_bit"])
+        if not self.last:
+            res += config_macro(self.name, "OUT_BIT", e["out_bit"])
+        res += config_macro(self.name, "W_BIT", e["w_bit"])
+        if not self.last:
+            res += config_macro(self.name, "INC_BIT", self.inc_bit)
+            res += config_macro(self.name, "BIAS_BIT", self.bias_bit)
+            res += config_macro(self.name, "W_TILES", self.w_tiles)
+            res += config_macro(self.name, "A_TILES", self.a_tiles)
+        res += config_macro(self.name, "L_SHIFT", e["l_shift"])
+        if not self.last:
+            res += "\n"
         return res
 
 

@@ -171,3 +171,56 @@ def test_export_ultranet_hls_end_to_end(tmp_path):
     assert "conv_7_inc" in out["param"]
     assert "conv_8_inc" not in out["param"]
     assert np.load(tmp_path / "last_bias.npy").shape == (36,)
+
+
+@needs_ref
+def test_linear_layer_matches_reference():
+    """Dense path (QNNLayerMemProcess.linear/linear_config_str,
+    qnn_mem_process.py:194-218, 408-431): byte-identical param and config
+    fragments for the same integer inputs."""
+    mem = _ref_mem()
+    rng = np.random.default_rng(4)
+    out_len, in_len = 16, 64
+    w = rng.integers(-7, 8, size=(out_len, in_len))
+    inc = rng.integers(-1500, 1500, size=out_len)
+    bias = rng.integers(-40000, 40000, size=out_len)
+
+    cfg = {"in_len": in_len, "out_len": out_len}
+    proc = _ref_layer(mem, "linear_0", 4, 4, 4, 8, pe=4, simd=8,
+                      config_entry=cfg)
+    ref_w = proc.w_to_hls_array(w)
+    ref_inc, ref_bias = proc.inc_bias_to_hls_array(inc.copy(), bias.copy())
+    proc.hls_w, proc.hls_inc, proc.hls_bias = ref_w, ref_inc, ref_bias
+    proc.inc_bit_width = proc.get_inc_bit_width(ref_inc)
+    proc.bias_bit_width = proc.get_bias_bit_width(ref_bias)
+    ref_param = proc.layer_param_to_init_str(ref_w, ref_inc, ref_bias)
+    ref_config = proc.linear_config_str()
+
+    entry = {"w_bit": 4, "in_bit": 4, "out_bit": 4, "l_shift": 8,
+             "in_len": in_len, "out_len": out_len}
+    layer = HLSLayer("linear_0", entry, pe=4, simd=8).process_linear(
+        w.T, inc, bias)  # flax [in, out]
+    assert layer.param_str() == ref_param
+    assert layer.config_str() == ref_config
+
+
+@needs_ref
+def test_last_linear_matches_reference():
+    mem = _ref_mem()
+    rng = np.random.default_rng(5)
+    out_len, in_len = 8, 32
+    w = rng.integers(-7, 8, size=(out_len, in_len))
+    cfg = {"in_len": in_len, "out_len": out_len}
+    proc = _ref_layer(mem, "linear_1", 4, 4, 4, 8, pe=2, simd=8,
+                      config_entry=cfg)
+    ref_w = proc.w_to_hls_array(w)
+    proc.hls_w = ref_w
+    ref_param = proc.last_layer_param_to_init_str(ref_w)
+    ref_config = proc.last_linear_config_str()
+
+    entry = {"w_bit": 4, "in_bit": 4, "out_bit": 4, "l_shift": 8,
+             "in_len": in_len, "out_len": out_len}
+    layer = HLSLayer("linear_1", entry, pe=2, simd=8,
+                     last=True).process_linear(w.T)
+    assert layer.param_str() == ref_param
+    assert layer.config_str() == ref_config
