@@ -103,8 +103,8 @@ def _layer_of(path: str) -> str:
 
 def discover_node_groups(model, params, example_input,
                          batch_stats=None,
-                         model_kwargs: Optional[dict] = None
-                         ) -> List[NodeGroup]:
+                         model_kwargs: Optional[dict] = None,
+                         return_edges: bool = False):
     """Partition a basic model into pruning groups by jaxpr dataflow.
 
     Traces ``model.apply`` on ``example_input`` and runs the pzig steps
@@ -217,6 +217,7 @@ def discover_node_groups(model, params, example_input,
             for nxt in consumers.get(nid, ()):  # consumers of this value
                 if nxt.op in _STEM_OPS and nxt.id in stem_by_node:
                     j = stem_by_node[nxt.id]
+                    stem_edges.add((stem_idx, j))
                     if stems[j].depthwise:
                         # step 7: depthwise conv joins the incoming group
                         absorbed[j] = uf.find(stem_idx)
@@ -269,6 +270,7 @@ def discover_node_groups(model, params, example_input,
                     seen.add(key)
                     frontier.append(key)
 
+    stem_edges: Set[Tuple[int, int]] = set()
     walk.claimed = {}
     for i in range(len(stems)):
         if not stems[i].depthwise:
@@ -316,7 +318,16 @@ def discover_node_groups(model, params, example_input,
             id=gid, entries=entries, num_groups=out_ch,
             is_prunable=ok and root not in unprunable,
         ))
-    return groups
+    if not return_edges:
+        return groups
+    gid_of = {root: _layer_of(stems[members[0]].kernel_path)
+              for root, members in roots.items()}
+    edges = sorted({
+        (gid_of[uf.find(a)], gid_of[uf.find(b)])
+        for a, b in stem_edges
+        if uf.find(a) != uf.find(b)
+    })
+    return groups, edges
 
 
 def trace_cost_report(model, params, example_input,

@@ -84,9 +84,9 @@ class OTO:
 
             self.kind = "auto"
             self.cfg = getattr(model, "cfg", None)
-            self.node_groups = discover_node_groups(
+            self.node_groups, self.group_edges = discover_node_groups(
                 model, params, example_input, batch_stats=batch_stats,
-                model_kwargs=model_kwargs)
+                model_kwargs=model_kwargs, return_edges=True)
         else:
             raise ValueError(
                 f"no node-group builder registered for {type(model).__name__};"
@@ -312,7 +312,10 @@ class OTO:
         return params
 
     def visualize(self, out_path: Optional[str] = None) -> str:
-        """Emit the node-group structure as Graphviz DOT text."""
+        """Emit the node-group structure as Graphviz DOT text. Auto-
+        discovered graphs carry REAL dataflow edges (stem -> stem data
+        dependencies recorded during discovery); family-declared graphs
+        fall back to layout-order invisible edges."""
         lines = ["digraph node_groups {", "  rankdir=TB;",
                  '  node [shape=box, fontname="helvetica"];']
         for g in self.node_groups:
@@ -322,9 +325,14 @@ class OTO:
             lines.append(
                 f'  "{g.id}" [label="{label}", style=filled,'
                 f' fillcolor={color}];')
-        ordered = [g.id for g in self.node_groups]
-        for a, b in zip(ordered, ordered[1:]):
-            lines.append(f'  "{a}" -> "{b}" [style=invis];')
+        edges = getattr(self, "group_edges", None)
+        if edges:
+            for a, b in edges:
+                lines.append(f'  "{a}" -> "{b}";')
+        else:
+            ordered = [g.id for g in self.node_groups]
+            for a, b in zip(ordered, ordered[1:]):
+                lines.append(f'  "{a}" -> "{b}" [style=invis];')
         lines.append("}")
         dot = "\n".join(lines)
         if out_path:

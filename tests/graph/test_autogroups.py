@@ -235,3 +235,28 @@ def test_oto_facade_auto_discovery_on_custom_model():
 
     with pytest.raises(NotImplementedError):
         oto.construct_subnet(p)
+
+
+def test_auto_discovery_records_dataflow_edges():
+    """discover_node_groups(return_edges=True) reports stem->stem data
+    dependencies between merged groups; OTO.visualize renders them."""
+    import flax.linen as nn
+
+    from quantized_vit_tpu.graph import OTO
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Conv(8, (3, 3), name="a")(x)
+            x = nn.relu(x)
+            x = jnp.mean(x, axis=(1, 2))
+            x = nn.Dense(16, name="b")(x)
+            return nn.Dense(4, name="c")(nn.tanh(x))
+
+    m = Net()
+    x = jnp.zeros((1, 8, 8, 3), jnp.float32)
+    params = flax.core.unfreeze(m.init(jax.random.PRNGKey(0), x)["params"])
+    oto = OTO(m, params, example_input=x)
+    assert oto.group_edges == [("a", "b"), ("b", "c")]
+    dot = oto.visualize()
+    assert '"a" -> "b";' in dot and '"b" -> "c";' in dot
