@@ -24,19 +24,20 @@ _build_failed = False
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-fopenmp", _SRC, "-o", _SO]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
-    except (subprocess.SubprocessError, FileNotFoundError):
-        # retry without OpenMP (toolchains missing libgomp)
+    # temp-name + rename: concurrent processes must never CDLL a
+    # half-written .so (atomic on POSIX)
+    tmp = f"{_SO}.{os.getpid()}.tmp"
+    for cmd in (
+        ["g++", "-O3", "-shared", "-fPIC", "-fopenmp", _SRC, "-o", tmp],
+        ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", tmp],
+    ):
         try:
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
-                check=True, capture_output=True, timeout=120)
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            os.replace(tmp, _SO)
             return True
-        except (subprocess.SubprocessError, FileNotFoundError):
-            return False
+        except (subprocess.SubprocessError, FileNotFoundError, OSError):
+            continue
+    return False
 
 
 def _load() -> Optional[ctypes.CDLL]:

@@ -101,6 +101,37 @@ def _layer_of(path: str) -> str:
     return path.rsplit("/", 1)[0] if "/" in path else path
 
 
+def _is_quant_scalar(path: str) -> bool:
+    """Quant scalars never prune and never count as accessories."""
+    name = path.rsplit("/", 1)[-1]
+    return name.startswith(("d_quant", "q_m", "t_quant"))
+
+
+def _build_provenance(graph: TracedGraph) -> Dict[str, Set[str]]:
+    """Transitive labeled-param set per node (nodes are topological)."""
+    provenance: Dict[str, Set[str]] = {}
+    for n in graph.nodes:
+        deps: Set[str] = set(n.param_names)
+        for src in n.inputs:
+            if src in provenance:
+                deps |= provenance[src]
+        provenance[n.id] = deps
+    return provenance
+
+
+def _operand_kernel(arg_id, shapes, provenance) -> Optional[str]:
+    """The >=2-dim labeled param an operand (transitively) derives from —
+    finds the kernel through fake-quant math (the traced-quantizer
+    situation the reference collapses in graph.py:525-662), or None when
+    the operand isn't a single kernel's product."""
+    if arg_id is None or arg_id == "<arg>":
+        return None
+    deps = {arg_id} if arg_id in shapes else provenance.get(arg_id, set())
+    kernels = [p for p in deps if len(shapes.get(p, ())) >= 2
+               and not _is_quant_scalar(p)]
+    return kernels[0] if len(kernels) == 1 else None
+
+
 def discover_node_groups(model, params, example_input,
                          batch_stats=None,
                          model_kwargs: Optional[dict] = None,
@@ -133,55 +164,38 @@ def discover_node_groups(model, params, example_input,
             consumers.setdefault(src, []).append(n)
     output_ids = set(graph.output_ids)
 
-    # transitive labeled-param provenance per node (for BN-style accessory
-    # params that reach the elementwise op through rsqrt/mul math)
-    provenance: Dict[str, Set[str]] = {}
-    for n in graph.nodes:  # nodes are in topological order
-        deps: Set[str] = set(n.param_names)
-        for src in n.inputs:
-            if src in provenance:
-                deps |= provenance[src]
-        provenance[n.id] = deps
-
-    # quant scalars never prune and never count as accessories
-    def is_quant_scalar(path: str) -> bool:
-        name = path.rsplit("/", 1)[-1]
-        return name.startswith(("d_quant", "q_m", "t_quant"))
+    provenance = _build_provenance(graph)
+    is_quant_scalar = _is_quant_scalar
 
     # ------------------------------------------------------------------
-    # step 1: stems. The weight operand is found by PROVENANCE, not by
-    # direct param consumption: fake-quant layers run the kernel through
-    # quantizer math before the conv/dot, exactly the traced-quantizer
-    # situation the reference collapses in graph.py:525-662 — here the
-    # transitive labeled-param set of the weight operand identifies the
-    # kernel without any graph rewriting.
+    # step 1: stems — kernels found by provenance (see _operand_kernel)
     # ------------------------------------------------------------------
-    def _operand_kernel(arg_id: Optional[str]) -> Optional[str]:
-        if arg_id is None or arg_id == "<arg>":
-            return None
-        deps = ({arg_id} if arg_id in shapes
-                else provenance.get(arg_id, set()))
-        kernels = [p for p in deps if len(shapes.get(p, ())) >= 2
-                   and not is_quant_scalar(p)]
-        return kernels[0] if len(kernels) == 1 else None
-
     stems: List[_Stem] = []
     stem_by_node: Dict[str, int] = {}
+    grouped_conv_stems: Set[int] = set()
     for n in graph.nodes:
         if n.op not in _STEM_OPS or len(n.arg_ids) < 2:
             continue
         if n.op == "conv_general_dilated":
-            kpath = _operand_kernel(n.arg_ids[1])
+            kpath = _operand_kernel(n.arg_ids[1], shapes, provenance)
         else:
-            kpath = _operand_kernel(n.arg_ids[1]) or _operand_kernel(
-                n.arg_ids[0])
+            kpath = (_operand_kernel(n.arg_ids[1], shapes, provenance)
+                     or _operand_kernel(n.arg_ids[0], shapes, provenance))
         if kpath is None:
             continue
         kshape = shapes[kpath]
         out_ch = kshape[-1]
-        depthwise = (n.op == "conv_general_dilated"
-                     and len(kshape) == 4 and kshape[2] == 1
-                     and out_ch > 1)
+        # depthwise iff the CONV says so (feature_group_count > 1 with a
+        # single in-channel slice per filter); a regular conv on 1-channel
+        # input also has kshape[2] == 1 but fgc == 1 and must form its own
+        # group like any other stem
+        fgc = int(n.attrs.get("feature_group_count", 1)) if n.attrs else 1
+        depthwise = (n.op == "conv_general_dilated" and fgc > 1
+                     and len(kshape) == 4 and kshape[2] == 1)
+        if n.op == "conv_general_dilated" and fgc > 1 and not depthwise:
+            # general grouped conv: channel<->group coupling this basic
+            # partitioner doesn't model — keep the stem but never prune it
+            grouped_conv_stems.add(len(stems))
         bias = None
         cand = f"{_layer_of(kpath)}/bias"
         if cand in shapes and shapes[cand] == (out_ch,):
@@ -194,9 +208,10 @@ def discover_node_groups(model, params, example_input,
 
     uf = _UnionFind(len(stems))
     accessories: Dict[int, List[str]] = {i: [] for i in range(len(stems))}
-    unprunable: Set[int] = set()
-    # depthwise stems absorbed into a producer group
-    absorbed: Dict[int, int] = {}
+    # unprunable holds STEM indices (not union-find roots: a later merge
+    # re-roots the group and a root recorded at marking time would silently
+    # drop the flag); assembly checks members against it
+    unprunable: Set[int] = set(grouped_conv_stems)
 
     # ------------------------------------------------------------------
     # steps 2-7: forward walk from each stem
@@ -213,14 +228,13 @@ def discover_node_groups(model, params, example_input,
         while frontier:
             nid, axis = frontier.pop()
             if nid in output_ids:
-                unprunable.add(uf.find(stem_idx))
+                unprunable.add(stem_idx)
             for nxt in consumers.get(nid, ()):  # consumers of this value
                 if nxt.op in _STEM_OPS and nxt.id in stem_by_node:
                     j = stem_by_node[nxt.id]
                     stem_edges.add((stem_idx, j))
                     if stems[j].depthwise:
                         # step 7: depthwise conv joins the incoming group
-                        absorbed[j] = uf.find(stem_idx)
                         uf.union(stem_idx, j)
                         nd = len(nxt.shape or ())
                         key = (nxt.id, nd - 1)
@@ -232,7 +246,7 @@ def discover_node_groups(model, params, example_input,
                 new_axis = _axis_through(nxt, nid, axis, graph)
                 if new_axis is None:
                     # opaque op next to the group -> conservative unprunable
-                    unprunable.add(uf.find(stem_idx))
+                    unprunable.add(stem_idx)
                     continue
                 if nxt.op in _ELEMENTWISE and len(nxt.inputs) > 1:
                     for other in nxt.inputs:
@@ -316,7 +330,7 @@ def discover_node_groups(model, params, example_input,
         gid = _layer_of(stems[members[0]].kernel_path)
         groups.append(NodeGroup(
             id=gid, entries=entries, num_groups=out_ch,
-            is_prunable=ok and root not in unprunable,
+            is_prunable=ok and not any(i in unprunable for i in members),
         ))
     if not return_edges:
         return groups
@@ -354,27 +368,7 @@ def trace_cost_report(model, params, example_input,
     graph = TracedGraph.trace(fn, params, example_input, params=params)
     shapes = _param_shapes(params)
     batch = int(np.shape(example_input)[0]) or 1
-
-    provenance: Dict[str, Set[str]] = {}
-    for n in graph.nodes:
-        deps: Set[str] = set(n.param_names)
-        for src in n.inputs:
-            if src in provenance:
-                deps |= provenance[src]
-        provenance[n.id] = deps
-
-    def is_quant_scalar(path: str) -> bool:
-        name = path.rsplit("/", 1)[-1]
-        return name.startswith(("d_quant", "q_m", "t_quant"))
-
-    def operand_kernel(arg_id):
-        if arg_id is None or arg_id == "<arg>":
-            return None
-        deps = ({arg_id} if arg_id in shapes
-                else provenance.get(arg_id, set()))
-        kernels = [p for p in deps if len(shapes.get(p, ())) >= 2
-                   and not is_quant_scalar(p)]
-        return kernels[0] if len(kernels) == 1 else None
+    provenance = _build_provenance(graph)
 
     from .costs import _layer_bits
 
@@ -383,8 +377,8 @@ def trace_cost_report(model, params, example_input,
     for n in graph.nodes:
         if n.op not in _STEM_OPS or len(n.arg_ids) < 2:
             continue
-        kpath = (operand_kernel(n.arg_ids[1])
-                 or (operand_kernel(n.arg_ids[0])
+        kpath = (_operand_kernel(n.arg_ids[1], shapes, provenance)
+                 or (_operand_kernel(n.arg_ids[0], shapes, provenance)
                      if n.op == "dot_general" else None))
         if kpath is None or n.shape is None:
             continue
@@ -403,8 +397,8 @@ def trace_cost_report(model, params, example_input,
     flat, _ = jax.tree_util.tree_flatten_with_path(params)
     report["num_params"] = int(sum(
         np.prod(np.shape(v)) for kp, v in flat
-        if not is_quant_scalar("/".join(str(getattr(k, "key", k))
-                                        for k in kp))))
+        if not _is_quant_scalar("/".join(str(getattr(k, "key", k))
+                                         for k in kp))))
     return report
 
 

@@ -43,6 +43,10 @@ class TraceNode:
     # the weight is a computed value (traced quantizer output — the
     # situation graph.py:525-662 collapses in the reference).
     arg_ids: Tuple[Optional[str], ...] = ()
+    # selected scalar/tuple eqn params (e.g. a conv's feature_group_count
+    # — the sound depthwise discriminator; kernel shape alone can't tell a
+    # depthwise conv from a regular conv on 1-channel input)
+    attrs: Optional[Dict[str, Any]] = None
 
     def __repr__(self):  # pragma: no cover - debugging aid
         return f"TraceNode({self.id}: {self.op} <- {list(self.inputs)})"
@@ -104,9 +108,17 @@ class TracedGraph:
                         arg_ids.append("<arg>")
                 outshape = (tuple(eqn.outvars[0].aval.shape)
                             if eqn.outvars else None)
+                attrs = None
+                if op == "conv_general_dilated":
+                    attrs = {
+                        k: eqn.params[k]
+                        for k in ("feature_group_count", "batch_group_count",
+                                  "window_strides")
+                        if k in eqn.params
+                    }
                 nodes.append(TraceNode(nid, op, tuple(inputs),
                                        tuple(pnames), outshape,
-                                       tuple(arg_ids)))
+                                       tuple(arg_ids), attrs))
                 for v in eqn.outvars:
                     producer[v] = nid
                 # recurse into pjit/closed-call subjaxprs so the whole

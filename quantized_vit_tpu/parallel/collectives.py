@@ -97,12 +97,12 @@ def quantized_ring_all_reduce(x: jax.Array, axis_name: str,
         gathered_sc.append(sc)
     # arrival s (0-based) at device d carries chunk (d - s + 1) mod n; undo
     # the rotation so chunks land in order 0..n-1
+    stacked_lv = jnp.stack(gathered_lv)
+    stacked_sc = jnp.stack(gathered_sc)
     parts = []
     for ci in range(n):
         # we need the arrival s with (idx - s + 1) mod n == ci
         # -> s = (idx + 1 - ci) mod n
-        stacked_lv = jnp.stack(gathered_lv)
-        stacked_sc = jnp.stack(gathered_sc)
         s = (idx + 1 - ci) % n
         parts.append(_dequantize_block(jnp.take(stacked_lv, s, axis=0),
                                        jnp.take(stacked_sc, s, axis=0),

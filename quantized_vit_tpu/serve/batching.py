@@ -72,6 +72,15 @@ class ContinuousBatcher:
         if self._thread is not None:
             self._thread.join(timeout=10)
             self._thread = None
+        # reject anything that raced past the dispatcher's exit — a Future
+        # left on a dead queue would block its caller forever
+        while True:
+            try:
+                _, fut, _ = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.done():
+                fut.set_exception(RuntimeError("batcher stopped"))
 
     def __enter__(self):
         return self.start()
@@ -82,8 +91,13 @@ class ContinuousBatcher:
     # ------------------------------------------------------------------
 
     def submit(self, image: np.ndarray) -> Future:
-        """Enqueue one sample (no batch dim). Resolves to its output row."""
+        """Enqueue one sample (no batch dim). Resolves to its output row.
+        Submitting to a stopped batcher resolves the Future with an error
+        instead of leaving it pending forever."""
         fut: Future = Future()
+        if self._stop.is_set() and self._thread is None:
+            fut.set_exception(RuntimeError("batcher stopped"))
+            return fut
         self._q.put((image, fut, time.monotonic()))
         self.stats["requests"] += 1
         return fut

@@ -29,14 +29,18 @@ _build_failed = False
 
 
 def _build() -> bool:
+    # compile to a per-pid temp name and rename (atomic on POSIX): another
+    # process racing the build must never CDLL a half-written .so
+    tmp = f"{_SO}.{os.getpid()}.tmp"
     for cmd in (
-        ["g++", "-O3", "-shared", "-fPIC", "-fopenmp", _SRC, "-o", _SO],
-        ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
+        ["g++", "-O3", "-shared", "-fPIC", "-fopenmp", _SRC, "-o", tmp],
+        ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", tmp],
     ):
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            os.replace(tmp, _SO)
             return True
-        except (subprocess.SubprocessError, FileNotFoundError):
+        except (subprocess.SubprocessError, FileNotFoundError, OSError):
             continue
     return False
 
@@ -84,8 +88,12 @@ def normalize_u8_batch(images_u8: np.ndarray, mean: np.ndarray,
     """
     images_u8 = np.ascontiguousarray(images_u8, np.uint8)
     c = images_u8.shape[-1]
-    mean = np.ascontiguousarray(mean, np.float32)
-    inv_std = np.ascontiguousarray(1.0 / np.asarray(std, np.float32))
+    # broadcast scalars BEFORE the native call: the C++ side indexes
+    # mean[ch]/inv_std[ch] for ch < c unconditionally
+    mean = np.ascontiguousarray(
+        np.broadcast_to(np.asarray(mean, np.float32), (c,)))
+    inv_std = np.ascontiguousarray(
+        np.broadcast_to(1.0 / np.asarray(std, np.float32), (c,)))
     lib = _load()
     if lib is None:
         return ((images_u8.astype(np.float32) * (1.0 / 255.0) - mean)
@@ -106,7 +114,14 @@ def gather_rows(src: np.ndarray, idx: np.ndarray) -> np.ndarray:
     """Parallel ``src[idx]`` for 2-D-viewable float32 arrays (batch gather
     from an in-memory dataset)."""
     src = np.ascontiguousarray(src, np.float32)
-    idx = np.ascontiguousarray(idx, np.int64)
+    idx = np.asarray(idx, np.int64)
+    # numpy-compatible semantics up front: negatives wrap, out-of-range
+    # raises — the C++ gather dereferences unchecked
+    idx = np.where(idx < 0, idx + len(src), idx)
+    if idx.size and (idx.min() < 0 or idx.max() >= len(src)):
+        raise IndexError(
+            f"gather index out of range for first axis of size {len(src)}")
+    idx = np.ascontiguousarray(idx)
     lib = _load()
     if lib is None:
         return src[idx]
@@ -137,22 +152,39 @@ class PrefetchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         _END = object()
         err: list = []
+        abandoned = threading.Event()
+
+        def put(item) -> bool:
+            # bounded put that notices consumer abandonment (break /
+            # exception in the training loop) so the producer thread never
+            # blocks forever holding prepared batches
+            while not abandoned.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def work():
             try:
                 for item in self.loader:
-                    q.put(item)
+                    if not put(item):
+                        return
             except BaseException as e:  # propagate into the consumer
                 err.append(e)
             finally:
-                q.put(_END)
+                put(_END)
 
         t = threading.Thread(target=work, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            abandoned.set()

@@ -260,3 +260,60 @@ def test_auto_discovery_records_dataflow_edges():
     assert oto.group_edges == [("a", "b"), ("b", "c")]
     dot = oto.visualize()
     assert '"a" -> "b";' in dot and '"b" -> "c";' in dot
+
+
+def test_unprunable_survives_late_union_reroot():
+    """Regression: unprunable was recorded as a union-find ROOT at marking
+    time; a later merge re-rooted the group and silently dropped the flag.
+    A stem whose output is a model output must stay unprunable even when
+    its group merges with a lower-index stem afterwards."""
+    import flax.linen as nn
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            y0 = nn.relu(nn.Dense(8, name="c0")(x))
+            y1 = nn.relu(nn.Dense(8, name="c1")(x))
+            aux = jnp.tanh(y1)           # c1's output IS a model output
+            merged = nn.relu(y0 + y1)    # ...and c1 merges with c0
+            return merged, aux
+
+    m = Net()
+    x = jnp.zeros((2, 4), jnp.float32)
+    params = flax.core.unfreeze(m.init(jax.random.PRNGKey(0), x)["params"])
+    groups = discover_node_groups(m, params, x)
+    by_kernel = {e.path: g for g in groups for e in g.entries}
+    g = by_kernel["c1/kernel"]
+    assert by_kernel["c0/kernel"] is g  # residual-style merge happened
+    assert not g.is_prunable            # output adjacency survived it
+
+
+def test_one_channel_input_conv_is_not_depthwise():
+    """Regression: a regular conv on 1-channel input has kernel
+    [k, k, 1, C] just like a depthwise conv; only feature_group_count
+    distinguishes them. The grayscale stem must form its OWN group with its
+    BN accessories attached."""
+    import flax.linen as nn
+
+    class GrayNet(nn.Module):
+        @nn.compact
+        def __call__(self, x, deterministic: bool = True):
+            x = nn.Conv(16, (3, 3), use_bias=False, name="c0")(x)
+            x = nn.BatchNorm(use_running_average=deterministic,
+                             name="bn0")(x)
+            x = nn.relu(x)
+            x = jnp.mean(x, axis=(1, 2))
+            return nn.Dense(4, name="head")(x)
+
+    m = GrayNet()
+    x = jnp.zeros((1, 16, 16, 1), jnp.float32)  # GRAYSCALE input
+    v = m.init(jax.random.PRNGKey(0), x)
+    params = flax.core.unfreeze(v["params"])
+    stats = flax.core.unfreeze(v["batch_stats"])
+    groups = discover_node_groups(m, params, x, batch_stats=stats,
+                                  model_kwargs={"deterministic": True})
+    by_kernel = {e.path: g for g in groups for e in g.entries}
+    g = by_kernel["c0/kernel"]
+    assert g.is_prunable and g.num_groups == 16
+    paths = {e.path for e in g.entries}
+    assert "bn0/scale" in paths and "bn0/bias" in paths  # accessories found

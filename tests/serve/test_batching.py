@@ -132,3 +132,25 @@ def test_backlog_forms_full_batches():
             f.result(timeout=30)
     assert max(calls) == 8            # full batches formed
     assert calls.count(8) >= 3
+
+
+def test_stop_rejects_pending_and_late_submits():
+    """Futures never hang: requests still queued at stop() get an error,
+    and submitting to a stopped batcher fails fast."""
+    import numpy as np
+
+    from quantized_vit_tpu.serve import ContinuousBatcher
+
+    def forward(images):
+        return np.zeros((len(images), 2), np.float32)
+
+    b = ContinuousBatcher(forward, max_batch=4, max_delay_ms=1.0)
+    x = np.zeros((2, 2, 3), np.float32)
+    # never started: stop() must reject whatever was queued
+    f1 = b.submit(x)
+    b.stop()
+    with pytest.raises(RuntimeError, match="stopped"):
+        f1.result(timeout=5)
+    f2 = b.submit(x)
+    with pytest.raises(RuntimeError, match="stopped"):
+        f2.result(timeout=5)

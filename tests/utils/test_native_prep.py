@@ -92,3 +92,45 @@ def test_image_folder_native_normalize(tmp_path):
     want = (xf - MEAN) / STD
     # mul-by-reciprocal vs division: a couple of ulps at |x| ~ 2.6
     np.testing.assert_allclose(xs, want, rtol=0, atol=1e-6)
+
+
+def test_normalize_accepts_scalar_stats():
+    rng = np.random.default_rng(5)
+    u8 = rng.integers(0, 256, (2, 8, 8, 3)).astype(np.uint8)
+    got = normalize_u8_batch(u8, 0.5, 0.5)
+    want = (u8.astype(np.float32) * np.float32(1 / 255.0) - 0.5) * 2.0
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-7)
+
+
+def test_gather_rows_bounds_and_negatives():
+    src = np.arange(12, dtype=np.float32).reshape(4, 3)
+    np.testing.assert_array_equal(gather_rows(src, np.array([-1, 0])),
+                                  src[[-1, 0]])
+    with pytest.raises(IndexError):
+        gather_rows(src, np.array([4]))
+    with pytest.raises(IndexError):
+        gather_rows(src, np.array([-5]))
+
+
+def test_prefetch_loader_abandonment_does_not_wedge_producer():
+    """Breaking out of the consumer loop must release the producer thread
+    (regression: q.put blocked forever on the bounded queue)."""
+    import threading
+    import time
+
+    produced = []
+
+    def gen():
+        for i in range(100):
+            produced.append(i)
+            yield i
+
+    before = threading.active_count()
+    it = iter(PrefetchLoader(gen(), depth=1))
+    assert next(it) == 0
+    it.close()  # abandon
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+    assert len(produced) < 100  # producer stopped early
