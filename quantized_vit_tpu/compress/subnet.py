@@ -355,6 +355,9 @@ def construct_subnet_transformer(
             kept_m = np.arange(int(cfg.embed_dim * cfg.mlp_ratio))
         hidden_pb.append(len(kept_m))
         params = _slice_layer_out(params, f"blocks_{i}/fc1", kept_m)
+        if has_path(params, f"blocks_{i}/gate/kernel"):
+            # SwiGLU: gate rows live and die with fc1 (up) rows
+            params = _slice_layer_out(params, f"blocks_{i}/gate", kept_m)
         params = _slice_layer_in(params, f"blocks_{i}/fc2", kept_m)
 
     new_cfg = _dc.replace(

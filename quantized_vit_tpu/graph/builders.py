@@ -320,9 +320,17 @@ def transformer_node_groups(cfg, params) -> List[NodeGroup]:
             num_groups=kv, num_heads=kv,
             is_prunable=True,
         ))
+        # SwiGLU: gate and up (fc1) kernels share the hidden rows — ONE
+        # pruning decision spans both (the Llama MLP case; fc2's in-dim
+        # follows at compression like the plain-GELU fc2<-fc1 link)
+        mlp_entries = _layer_entries(params, f"blocks_{i}/fc1",
+                                     Transform.OUT)
+        if has_path(params, f"blocks_{i}/gate"):
+            mlp_entries += _layer_entries(params, f"blocks_{i}/gate",
+                                          Transform.OUT)
         groups.append(NodeGroup(
             id=f"blocks_{i}/mlp",
-            entries=_layer_entries(params, f"blocks_{i}/fc1", Transform.OUT),
+            entries=mlp_entries,
             num_groups=int(cfg.embed_dim * cfg.mlp_ratio),
             is_prunable=True,
         ))

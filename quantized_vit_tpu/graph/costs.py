@@ -223,6 +223,8 @@ def transformer_cost_report(cfg, params,
         names = [f"blocks_{i}/attn/{nm}" for nm in ("q", "k", "v")]
         names += [f"blocks_{i}/attn/proj", f"blocks_{i}/fc1",
                   f"blocks_{i}/fc2"]
+        if has_path(params, f"blocks_{i}/gate"):
+            names.append(f"blocks_{i}/gate")  # SwiGLU
         for name in names:
             kk = get_path(params, f"{name}/kernel")
             fin, fout = kk.shape

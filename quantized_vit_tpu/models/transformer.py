@@ -49,6 +49,10 @@ class TransformerConfig:
     # dropping one removes its whole query group.
     num_kv_heads: Optional[int] = None
     rope: bool = False             # rotary position embeddings on q/k
+    # "gelu": fc1 -> GELU -> fc2 (ViT/Bert). "swiglu": silu(gate(x)) *
+    # up(x) -> fc2 (Llama) — gate and up share the hidden dim, so one
+    # pruning decision spans BOTH kernels' out rows (plus fc2's in-dim).
+    mlp_type: str = "gelu"
     drop_ratio: float = 0.0
     quant: QuantConfig = QuantConfig.off()
     # Per-block overrides for compressed subnets (compress/)
@@ -154,8 +158,15 @@ class TransformerBlock(nn.Module):
         x = x + SeparateQKVAttention(c, num_heads=self.num_heads,
                                      name="attn")(y, mask, deterministic)
         y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
-        y = QuantDense(features=hidden, config=c.quant, name="fc1")(y)
-        y = nn.gelu(y, approximate=False)
+        if c.mlp_type == "swiglu":
+            gate = QuantDense(features=hidden, config=c.quant,
+                              use_bias=False, name="gate")(y)
+            up = QuantDense(features=hidden, config=c.quant,
+                            use_bias=False, name="fc1")(y)
+            y = nn.silu(gate) * up
+        else:
+            y = QuantDense(features=hidden, config=c.quant, name="fc1")(y)
+            y = nn.gelu(y, approximate=False)
         y = QuantDense(features=c.embed_dim, config=c.quant, name="fc2")(y)
         y = nn.Dropout(rate=c.drop_ratio)(y, deterministic=deterministic)
         return x + y

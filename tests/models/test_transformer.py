@@ -228,3 +228,38 @@ def test_gqa_prune_compress_is_lossless(gqa_setup):
         assert a["proj"]["kernel"].shape[0] == h_i * hd
     y_new = np.asarray(new_model.apply({"params": new_params}, tokens))
     np.testing.assert_allclose(y_new, y_sparse, rtol=1e-4, atol=1e-4)
+
+
+def test_llama_style_swiglu_gqa_prune_compress_is_lossless():
+    """Full Llama-style config: GQA + RoPE + causal + SwiGLU MLP. The gate
+    and up kernels share the hidden pruning decision; slicing must keep
+    silu(gate) * up exact."""
+    cfg = TransformerConfig(vocab_size=101, max_len=16, embed_dim=32,
+                            depth=2, num_heads=4, num_kv_heads=2,
+                            num_classes=3, causal=True, rope=True,
+                            mlp_type="swiglu",
+                            quant=QuantConfig(enabled=True))
+    m = TransformerEncoder(cfg)
+    rng = np.random.default_rng(7)
+    tokens = jnp.array(rng.integers(0, cfg.vocab_size, (2, 16)))
+    params = flax.core.unfreeze(
+        m.init(jax.random.PRNGKey(0), tokens)["params"])
+    assert "gate" in params["blocks_0"]  # swiglu layers exist
+    params = init_quant_params_tree(params, init_bits=8.0)
+
+    groups = {g.id: g for g in transformer_node_groups(cfg, params)}
+    paths = {e.path for e in groups["blocks_0/mlp"].entries}
+    assert "blocks_0/gate/kernel" in paths and "blocks_0/fc1/kernel" in paths
+
+    oto = OTO(m, params)
+    sparse = oto.random_set_zero_groups(
+        params, target_group_sparsity=0.5, num_group_divisible=1, seed=9)
+    y_sparse = np.asarray(m.apply({"params": sparse}, tokens))
+    new_model, new_params = oto.construct_subnet(sparse)
+    h0 = new_model.cfg.hidden_per_block[0]
+    assert h0 < int(cfg.embed_dim * cfg.mlp_ratio)
+    assert new_params["blocks_0"]["gate"]["kernel"].shape[-1] == h0
+    assert new_params["blocks_0"]["fc1"]["kernel"].shape[-1] == h0
+    assert new_params["blocks_0"]["fc2"]["kernel"].shape[0] == h0
+    y_new = np.asarray(new_model.apply({"params": new_params}, tokens))
+    np.testing.assert_allclose(y_new, y_sparse, rtol=1e-4, atol=1e-4)
