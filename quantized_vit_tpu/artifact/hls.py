@@ -259,7 +259,10 @@ def export_ultranet_hls(params: Dict[str, Any], batch_stats: Dict[str, Any],
     Returns {"param": ..., "config": ...} header texts (also written).
     """
     exp = exp or UltraNetExportConfig()
-    table = {e["name"]: e for e in generate_ultranet_config(exp)}
+    channels = [int(np.shape(params[f"conv_{i}"]["kernel"])[-1])
+                for i in range(len(ULTRANET_LAYERS))]
+    table = {e["name"]: e
+             for e in generate_ultranet_config(exp, channels=channels)}
     n = len(ULTRANET_LAYERS)
     param_parts: List[str] = []
     config_parts: List[str] = []

@@ -45,13 +45,17 @@ class UltraNetExportConfig:
     input_shape: Tuple[int, int, int] = (160, 320, 3)  # torch_export.py:150
 
 
-def generate_ultranet_config(exp: UltraNetExportConfig) -> List[Dict[str, Any]]:
+def generate_ultranet_config(exp: UltraNetExportConfig,
+                             channels: Any = None) -> List[Dict[str, Any]]:
     """Per-layer geometry table (torch_export.py:15-71): in/out channels,
-    spatial in/out, kernel/stride/padding."""
+    spatial in/out, kernel/stride/padding. ``channels`` overrides the dense
+    per-conv out-channel counts (GETA-compressed subnets)."""
     h, w, c = exp.input_shape
     table = []
     in_ch = c
     for i, (feat, ks, pool) in enumerate(ULTRANET_LAYERS):
+        if channels is not None:
+            feat = int(channels[i])
         entry = {
             "name": f"conv_{i}",
             "in_shape": [h, w, in_ch],
@@ -120,9 +124,11 @@ def save_ultranet_artifact(out_dir: str, params, batch_stats,
     """Full export: integer params + config table -> artifact dir."""
     exp = exp or UltraNetExportConfig()
     int_params = export_ultranet_int(params, batch_stats, exp)
+    channels = [int(jnp.shape(params[f"conv_{i}"]["kernel"])[-1])
+                for i in range(len(ULTRANET_LAYERS))]
     meta = {
         "model": "ultranet",
-        "config": generate_ultranet_config(exp),
+        "config": generate_ultranet_config(exp, channels=channels),
         "export": dataclasses.asdict(exp),
     }
     return save_artifact_tree(out_dir, int_params, meta)

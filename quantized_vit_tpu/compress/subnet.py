@@ -43,6 +43,15 @@ def kept_groups(group: NodeGroup, params,
     return np.nonzero(norms > tol)[0]
 
 
+def _kept_nonempty(group: NodeGroup, params) -> np.ndarray:
+    """kept_groups, but never empty: a block whose groups ALL went to zero
+    keeps one (all-zero) group so the compressed architecture stays
+    well-formed — the zero rows contribute nothing, so forward equivalence
+    is preserved."""
+    kept = kept_groups(group, params)
+    return kept if len(kept) else np.arange(1)
+
+
 def _take(arr, idx: np.ndarray, axis: int):
     return jnp.take(jnp.asarray(arr), jnp.asarray(idx), axis=axis)
 
@@ -86,28 +95,32 @@ def construct_subnet_vit(
     by_id = {g.id: g for g in groups}
     heads_pb: List[int] = []
     hidden_pb: List[int] = []
+    # head_dim is invariant under compression; per-block head counts come
+    # from the PARAM SHAPES so already-compressed models re-compress
+    head_dim = cfg.embed_dim // cfg.num_heads
 
     for i in range(cfg.depth):
         attn_g = by_id.get(f"blocks_{i}/attn")
         qkv = f"blocks_{i}/attn/qkv"
-        if attn_g is not None and attn_g.is_prunable:
-            kept_h = kept_groups(attn_g, params)
-        else:
-            kept_h = np.arange(cfg.num_heads)
-        heads_pb.append(len(kept_h))
         out_dim = get_path(params, f"{qkv}/kernel").shape[-1]
+        heads_i = out_dim // (3 * head_dim)
+        if attn_g is not None and attn_g.is_prunable:
+            kept_h = _kept_nonempty(attn_g, params)
+        else:
+            kept_h = np.arange(heads_i)
+        heads_pb.append(len(kept_h))
         out_idx = kept_indices_for_axis(kept_h, Transform.QKV_HEADS,
-                                        out_dim, cfg.num_heads)
+                                        out_dim, heads_i)
         params = _slice_layer_out(params, qkv, out_idx)
         # proj in-dim <- kept heads (V component rows)
         in_dim = get_path(params, f"blocks_{i}/attn/proj/kernel").shape[0]
         in_idx = kept_indices_for_axis(kept_h, Transform.HEADS, in_dim,
-                                       cfg.num_heads)
+                                       heads_i)
         params = _slice_layer_in(params, f"blocks_{i}/attn/proj", in_idx)
 
         mlp_g = by_id.get(f"blocks_{i}/mlp")
         if mlp_g is not None and mlp_g.is_prunable:
-            kept_m = kept_groups(mlp_g, params)
+            kept_m = _kept_nonempty(mlp_g, params)
         else:
             kept_m = np.arange(int(cfg.embed_dim * cfg.mlp_ratio))
         hidden_pb.append(len(kept_m))
@@ -155,7 +168,7 @@ def construct_subnet_resnet(
     def kept(gid, full):
         g = by_id.get(gid)
         if g is not None and g.is_prunable:
-            return kept_groups(g, params)
+            return _kept_nonempty(g, params)
         return np.arange(full)
 
     stream_kept = [kept(f"stream_{s}", w) for s, w in enumerate(cfg.widths)]
@@ -220,7 +233,7 @@ def construct_subnet_mobilenet(
     def kept(gid, full):
         g = by_id.get(gid)
         if g is not None and g.is_prunable:
-            return kept_groups(g, params)
+            return _kept_nonempty(g, params)
         return np.arange(full)
 
     def slice_channel_group(producer, bn, dw_idx, idx):
@@ -282,7 +295,7 @@ def construct_subnet_ultranet(
         g = by_id.get(f"conv_{i}")
         feat = get_path(params, f"conv_{i}/kernel").shape[-1]
         if g is not None and g.is_prunable:
-            idx = kept_groups(g, params)
+            idx = _kept_nonempty(g, params)
         else:
             idx = np.arange(feat)
         channels.append(len(idx))
@@ -323,34 +336,38 @@ def construct_subnet_transformer(
     its q_per_kv*head_dim run, k/v to head_dim. Returns (new config, new
     params) — ``heads_per_block`` stays in QUERY heads.
     """
-    import dataclasses as _dc
-
     by_id = {g.id: g for g in groups}
     heads_pb: List[int] = []
     hidden_pb: List[int] = []
-    kv = cfg.kv_heads if hasattr(cfg, "kv_heads") else cfg.num_heads
-    g_ratio = cfg.num_heads // kv
+    kv0 = cfg.kv_heads if hasattr(cfg, "kv_heads") else cfg.num_heads
+    g_ratio = cfg.num_heads // kv0
+    # head_dim is invariant; per-block kv counts come from the PARAM
+    # SHAPES so already-compressed models re-compress correctly
+    head_dim = cfg.embed_dim // cfg.num_heads
 
     for i in range(cfg.depth):
         attn_g = by_id.get(f"blocks_{i}/attn")
+        kv_i = get_path(
+            params, f"blocks_{i}/attn/k/kernel").shape[-1] // head_dim
         if attn_g is not None and attn_g.is_prunable:
-            kept_h = kept_groups(attn_g, params)  # kv-head indices
+            kept_h = _kept_nonempty(attn_g, params)  # kv-head indices
         else:
-            kept_h = np.arange(kv)
+            kept_h = np.arange(kv_i)
         heads_pb.append(len(kept_h) * g_ratio)
         for nm in ("q", "k", "v"):
             layer = f"blocks_{i}/attn/{nm}"
             out_dim = get_path(params, f"{layer}/kernel").shape[-1]
             out_idx = kept_indices_for_axis(kept_h, Transform.HEADS,
-                                            out_dim, kv)
+                                            out_dim, kv_i)
             params = _slice_layer_out(params, layer, out_idx)
         in_dim = get_path(params, f"blocks_{i}/attn/proj/kernel").shape[0]
-        in_idx = kept_indices_for_axis(kept_h, Transform.HEADS, in_dim, kv)
+        in_idx = kept_indices_for_axis(kept_h, Transform.HEADS, in_dim,
+                                       kv_i)
         params = _slice_layer_in(params, f"blocks_{i}/attn/proj", in_idx)
 
         mlp_g = by_id.get(f"blocks_{i}/mlp")
         if mlp_g is not None and mlp_g.is_prunable:
-            kept_m = kept_groups(mlp_g, params)
+            kept_m = _kept_nonempty(mlp_g, params)
         else:
             kept_m = np.arange(int(cfg.embed_dim * cfg.mlp_ratio))
         hidden_pb.append(len(kept_m))
@@ -360,7 +377,7 @@ def construct_subnet_transformer(
             params = _slice_layer_out(params, f"blocks_{i}/gate", kept_m)
         params = _slice_layer_in(params, f"blocks_{i}/fc2", kept_m)
 
-    new_cfg = _dc.replace(
+    new_cfg = dataclasses.replace(
         cfg,
         heads_per_block=tuple(heads_pb),
         hidden_per_block=tuple(hidden_pb),
@@ -400,7 +417,7 @@ def construct_subnet_autoencoder(
         g = by_id.get(layer)
         width = get_path(p, f"{layer}/kernel").shape[-1]
         if g is not None and g.is_prunable:
-            kg = kept_groups(g, p)
+            kg = _kept_nonempty(g, p)
         else:
             kg = np.arange(norm_groups)
         idx = kept_indices_for_axis(kg, Transform.OUT, width,

@@ -36,7 +36,8 @@ from typing import Any, Dict, List, Optional
 
 from ..models.ultranet import ULTRANET_LAYERS
 from ..models.vit import ViTConfig
-from ..opt.groups import NodeGroup, ParamEntry, Transform, has_path
+from ..opt.groups import (NodeGroup, ParamEntry, Transform,
+                          get_path, has_path)
 
 _QUANT_NAMES = ("d_quant_wt", "q_m_wt", "t_quant_wt",
                 "d_quant_act", "q_m_act", "t_quant_act")
@@ -86,8 +87,15 @@ def vit_node_groups(cfg: ViTConfig, params,
         num_groups=cfg.embed_dim, is_prunable=False,
     ))
 
+    # per-block sizes come from the PARAM SHAPES, not dense config
+    # constants, so re-wrapping a GETA-compressed model in OTO (e.g. the
+    # post-training metrics pass, train.py:552-606 analogue) groups
+    # correctly instead of reusing stale head/hidden counts
+    head_dim = cfg.embed_dim // cfg.num_heads
     for i in range(cfg.depth):
         qkv = f"blocks_{i}/attn/qkv"
+        heads_i = get_path(params, f"{qkv}/kernel").shape[-1] // (
+            3 * head_dim)
         groups.append(NodeGroup(
             id=f"blocks_{i}/attn",
             entries=[
@@ -97,15 +105,16 @@ def vit_node_groups(cfg: ViTConfig, params,
                 *[ParamEntry(f"{qkv}/{q}", Transform.NO_PRUNE)
                   for q in _QUANT_NAMES if has_path(params, f"{qkv}/{q}")],
             ],
-            num_groups=cfg.num_heads,
-            num_heads=cfg.num_heads,
+            num_groups=heads_i,
+            num_heads=heads_i,
             is_prunable=f"blocks_{i}/attn" not in unprunable_extra,
         ))
         groups.append(NodeGroup(
             id=f"blocks_{i}/mlp",
             entries=_layer_entries(params, f"blocks_{i}/mlp/fc1",
                                    Transform.OUT),
-            num_groups=int(cfg.embed_dim * cfg.mlp_ratio),
+            num_groups=get_path(
+                params, f"blocks_{i}/mlp/fc1/kernel").shape[-1],
             is_prunable=f"blocks_{i}/mlp" not in unprunable_extra,
         ))
 
@@ -135,7 +144,10 @@ def ultranet_node_groups(params, batch_stats=None) -> List[NodeGroup]:
     """
     groups: List[NodeGroup] = []
     n = len(ULTRANET_LAYERS)
-    for i, (feat, _, _) in enumerate(ULTRANET_LAYERS):
+    for i in range(n):
+        # channel count from the kernel shape so compressed subnets
+        # re-group correctly
+        feat = get_path(params, f"conv_{i}/kernel").shape[-1]
         entries = [ParamEntry(f"conv_{i}/kernel", Transform.OUT)]
         for nm in ("scale", "bias"):
             if has_path(params, f"bn_{i}/{nm}"):
@@ -253,12 +265,14 @@ def mobilenet_node_groups(cfg, params) -> List[NodeGroup]:
         return NodeGroup(id=gid, entries=entries, num_groups=width,
                          is_prunable=True)
 
-    groups.append(channel_group("stem", "stem_conv", "stem_bn",
-                                cfg.stem_width, dw=0))
-    for i, width in enumerate(cfg.widths):
+    groups.append(channel_group(
+        "stem", "stem_conv", "stem_bn",
+        get_path(params, "stem_conv/kernel").shape[-1], dw=0))
+    for i in range(n):
         nxt = i + 1 if i + 1 < n else None
-        groups.append(channel_group(f"pw_{i}", f"pw_{i}", f"pw_bn_{i}",
-                                    width, dw=nxt))
+        groups.append(channel_group(
+            f"pw_{i}", f"pw_{i}", f"pw_bn_{i}",
+            get_path(params, f"pw_{i}/kernel").shape[-1], dw=nxt))
     groups.append(NodeGroup(
         id="head", entries=_layer_entries(params, "head", Transform.OUT),
         num_groups=cfg.num_classes, is_prunable=False,
@@ -303,8 +317,11 @@ def transformer_node_groups(cfg, params) -> List[NodeGroup]:
     # projections group at KV granularity (q's groups are contiguous
     # q_per_kv*head_dim runs, which is exactly Transform.HEADS with
     # num_heads=kv). MHA is the kv == num_heads special case.
-    kv = cfg.kv_heads if hasattr(cfg, "kv_heads") else cfg.num_heads
+    head_dim = cfg.embed_dim // cfg.num_heads
     for i in range(cfg.depth):
+        # per-block kv count from the k kernel shape (compressed subnets)
+        kv_i = get_path(
+            params, f"blocks_{i}/attn/k/kernel").shape[-1] // head_dim
         entries: List[ParamEntry] = []
         for nm in ("q", "k", "v"):
             layer = f"blocks_{i}/attn/{nm}"
@@ -317,7 +334,7 @@ def transformer_node_groups(cfg, params) -> List[NodeGroup]:
                                               Transform.NO_PRUNE))
         groups.append(NodeGroup(
             id=f"blocks_{i}/attn", entries=entries,
-            num_groups=kv, num_heads=kv,
+            num_groups=kv_i, num_heads=kv_i,
             is_prunable=True,
         ))
         # SwiGLU: gate and up (fc1) kernels share the hidden rows — ONE
@@ -331,7 +348,8 @@ def transformer_node_groups(cfg, params) -> List[NodeGroup]:
         groups.append(NodeGroup(
             id=f"blocks_{i}/mlp",
             entries=mlp_entries,
-            num_groups=int(cfg.embed_dim * cfg.mlp_ratio),
+            num_groups=get_path(
+                params, f"blocks_{i}/fc1/kernel").shape[-1],
             is_prunable=True,
         ))
 

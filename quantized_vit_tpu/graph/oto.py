@@ -183,6 +183,17 @@ class OTO:
 
     def _report(self, params=None) -> Dict[str, Any]:
         params = self.params if params is None else params
+        # the compute_* metrics call this back-to-back on the same pytree
+        # (and for kind='auto' each report is a full jax trace) — memoize
+        # on the pytree object identity
+        cached = getattr(self, "_report_cache", None)
+        if cached is not None and cached[0] is params:
+            return cached[1]
+        rep = self._report_uncached(params)
+        self._report_cache = (params, rep)
+        return rep
+
+    def _report_uncached(self, params) -> Dict[str, Any]:
         if self.kind == "auto":
             from .autogroups import trace_cost_report
 
@@ -253,8 +264,13 @@ class OTO:
 
         prunable = [g for g in self.node_groups
                     if g.is_prunable and not g.is_auxiliary]
-        if num_clusters <= 1 or len(prunable) <= num_clusters:
+        if num_clusters <= 1:
             self.node_group_clusters = {0: list(prunable)}
+            return self.node_group_clusters
+        if len(prunable) <= num_clusters:
+            # fewer groups than clusters: singletons (KMeans behavior)
+            self.node_group_clusters = {i: [g]
+                                        for i, g in enumerate(prunable)}
             return self.node_group_clusters
 
         sizes = np.array([float(g.num_groups) for g in prunable])

@@ -57,13 +57,18 @@ def ultranet_reference_arrays(params: Mapping[str, Any],
 
 def ultranet_reference_config(
     input_shape: Tuple[int, int, int] = (3, 160, 320),
+    channels: Optional[Tuple[int, ...]] = None,
 ) -> Dict[str, Any]:
     """Geometry dict in the reference's format: ``conv_i``/``pool_i`` keys,
-    channels-first [C, H, W] shapes, conv k/s/p, pool kernel ``p``."""
+    channels-first [C, H, W] shapes, conv k/s/p, pool kernel ``p``.
+    ``channels`` overrides the dense per-conv out counts so a compressed
+    checkpoint's config.json agrees with its npz array shapes."""
     c, h, w = input_shape
     dic: Dict[str, Any] = {}
     pool_cnt = 0
     for i, (feat, ks, pool) in enumerate(ULTRANET_LAYERS):
+        if channels is not None:
+            feat = int(channels[i])
         p = ks // 2
         dic[f"conv_{i}"] = {
             "in_shape": [c, h, w],
@@ -100,7 +105,12 @@ def export_reference_ultranet(params: Mapping[str, Any],
     os.makedirs(out_dir, exist_ok=True)
     npz_path = os.path.join(out_dir, npz_name)
     np.savez(npz_path, **ultranet_reference_arrays(params, batch_stats, eps))
+    channels = tuple(
+        int(np.shape(params[f"conv_{i}"]["kernel"])[-1])
+        for i in range(len(ULTRANET_LAYERS)))
     cfg_path = os.path.join(out_dir, "config.json")
     with open(cfg_path, "w") as f:
-        f.write(json.dumps(ultranet_reference_config(input_shape), indent=4))
+        f.write(json.dumps(
+            ultranet_reference_config(input_shape, channels=channels),
+            indent=4))
     return npz_path, cfg_path

@@ -204,6 +204,8 @@ def kept_indices_for_axis(kept_groups: np.ndarray, transform: Transform,
             ) if len(kept_groups) else kept_groups
         return kept_groups
     if transform == Transform.QKV_HEADS:
+        if len(kept_groups) == 0:
+            return kept_groups.astype(np.int64)
         hd = axis_size // (3 * num_heads)
         per_comp = [
             c * num_heads * hd + h * hd + np.arange(hd)
@@ -212,6 +214,8 @@ def kept_indices_for_axis(kept_groups: np.ndarray, transform: Transform,
         ]
         return np.concatenate(per_comp)
     if transform == Transform.HEADS:
+        if len(kept_groups) == 0:
+            return kept_groups.astype(np.int64)
         hd = axis_size // num_heads
         return np.concatenate([h * hd + np.arange(hd) for h in kept_groups])
     raise ValueError(f"unhandled transform {transform}")

@@ -114,3 +114,35 @@ def test_export_writes_files(ultranet_tree, tmp_path):
     with open(cfg_path) as f:
         cfg = json.load(f)
     assert "conv_8" in cfg and "pool_3" in cfg
+
+
+def test_compressed_checkpoint_config_matches_npz(tmp_path):
+    """Regression: config.json channel counts came from the dense layer
+    table while the npz carried sliced arrays — a compressed checkpoint
+    exported artifacts that silently disagreed."""
+    import flax
+    import jax
+    import jax.numpy as jnp
+
+    from quantized_vit_tpu.graph import OTO
+    from quantized_vit_tpu.models import UltraNet
+
+    model = UltraNet()
+    x = jnp.zeros((1, 32, 64, 3), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x)
+    params = flax.core.unfreeze(v["params"])
+    stats = flax.core.unfreeze(v["batch_stats"])
+    oto = OTO(model, params, batch_stats=stats)
+    sparse = oto.random_set_zero_groups(
+        params, target_group_sparsity=0.4, num_group_divisible=1, seed=1)
+    m2, p2, s2 = oto.construct_subnet(sparse)
+
+    npz_path, cfg_path = export_reference_ultranet(p2, s2,
+                                                   str(tmp_path / "c"))
+    arrs = np.load(npz_path)
+    with open(cfg_path) as f:
+        cfg = json.load(f)
+    # conv_0 weight is arr_0 [O, I, K, K]; config must agree on O
+    assert cfg["conv_0"]["out_shape"][0] == arrs["arr_0"].shape[0]
+    assert cfg["conv_1"]["in_shape"][0] == arrs["arr_0"].shape[0]
+    assert cfg["conv_0"]["out_shape"][0] < 16  # actually pruned

@@ -263,3 +263,36 @@ def test_llama_style_swiglu_gqa_prune_compress_is_lossless():
     assert new_params["blocks_0"]["fc2"]["kernel"].shape[0] == h0
     y_new = np.asarray(new_model.apply({"params": new_params}, tokens))
     np.testing.assert_allclose(y_new, y_sparse, rtol=1e-4, atol=1e-4)
+
+
+def test_oto_on_compressed_model_regroups_correctly(gqa_setup):
+    """Regression: builders derived num_groups from dense config constants,
+    so re-wrapping a compressed model in OTO (the post-training metrics
+    pass) mis-grouped — a second pruning round could zero half of a
+    surviving kv head or crash on a reshape. Groups must track the
+    compressed param shapes."""
+    model, params, tokens = gqa_setup
+    params = init_quant_params_tree(params, init_bits=8.0)
+    oto = OTO(model, params)
+    sparse = oto.random_set_zero_groups(
+        params, target_group_sparsity=0.5, num_group_divisible=1, seed=5)
+    new_model, new_params = oto.construct_subnet(sparse)
+
+    oto2 = OTO(new_model, new_params)
+    by_id = {g.id: g for g in oto2.node_groups}
+    hd = GQA_CFG.embed_dim // GQA_CFG.num_heads
+    g_ratio = GQA_CFG.num_heads // GQA_CFG.num_kv_heads
+    for i in range(GQA_CFG.depth):
+        kv_i = new_model.cfg.heads_per_block[i] // g_ratio
+        assert by_id[f"blocks_{i}/attn"].num_groups == kv_i
+        assert by_id[f"blocks_{i}/mlp"].num_groups == \
+            new_model.cfg.hidden_per_block[i]
+    # a second group operation must run cleanly on the compressed shapes
+    sparse2 = oto2.random_set_zero_groups(
+        new_params, target_group_sparsity=0.4, num_group_divisible=1, seed=6)
+    m3, p3 = oto2.construct_subnet(sparse2)
+    y_sparse2 = np.asarray(new_model.apply({"params": sparse2}, tokens))
+    y3 = np.asarray(m3.apply({"params": p3}, tokens))
+    np.testing.assert_allclose(y3, y_sparse2, rtol=1e-4, atol=1e-4)
+    # metrics work on the twice-compressed model too
+    assert oto2.compute_macs(new_params) > 0
