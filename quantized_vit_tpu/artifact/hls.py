@@ -256,11 +256,19 @@ def export_ultranet_hls(params: Dict[str, Any], batch_stats: Dict[str, Any],
     """Emit `param.h` / `config.h` / `last_bias.npy|.bin` into ``out_dir``
     from trained flax UltraNet params (the `ultranet_param_gen.py` flow).
 
+    The PE tiling requires out_channels %% PE == 0 (qnn_mem_process.py:90
+    asserts the same); GETA-pruned checkpoints can break that, so each
+    layer's PE degrades to gcd(out_channels, PE) — config.h carries the
+    effective PE, which is exactly what the accelerator HLS rebuild reads.
+
     Returns {"param": ..., "config": ...} header texts (also written).
     """
+    import math
+
     exp = exp or UltraNetExportConfig()
     channels = [int(np.shape(params[f"conv_{i}"]["kernel"])[-1])
                 for i in range(len(ULTRANET_LAYERS))]
+    pe = [math.gcd(ch, int(p_)) for ch, p_ in zip(channels, pe)] +         [math.gcd(36, int(pe[len(ULTRANET_LAYERS)]))]
     table = {e["name"]: e
              for e in generate_ultranet_config(exp, channels=channels)}
     n = len(ULTRANET_LAYERS)

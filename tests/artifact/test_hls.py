@@ -224,3 +224,31 @@ def test_last_linear_matches_reference():
                      last=True).process_linear(w.T)
     assert layer.param_str() == ref_param
     assert layer.config_str() == ref_config
+
+
+def test_export_ultranet_hls_handles_pruned_channels(tmp_path):
+    """GETA-pruned channel counts need not divide the dense PE table; the
+    exporter degrades each layer's PE to gcd(out_ch, PE) and records the
+    effective value in config.h."""
+    import flax
+    import jax
+    import jax.numpy as jnp
+
+    from quantized_vit_tpu.graph import OTO
+    from quantized_vit_tpu.models import UltraNet
+
+    model = UltraNet()
+    x = jnp.zeros((1, 32, 64, 3), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x)
+    params = flax.core.unfreeze(v["params"])
+    stats = flax.core.unfreeze(v["batch_stats"])
+    oto = OTO(model, params, batch_stats=stats)
+    sparse = oto.random_set_zero_groups(
+        params, target_group_sparsity=0.3, num_group_divisible=1, seed=4)
+    m2, p2, s2 = oto.construct_subnet(sparse)
+
+    out = export_ultranet_hls(p2, s2, str(tmp_path))
+    ch0 = p2["conv_0"]["kernel"].shape[-1]
+    import math
+    assert f"#define CONV_0_OFM_CH {ch0} " in out["config"]
+    assert f"#define CONV_0_PE {math.gcd(ch0, 16)} " in out["config"]
