@@ -95,7 +95,9 @@ class GETAConfig:
 
 def _d_for_bits_scalar(bits: float, q_m, t) -> jax.Array:
     """d = |q_m|^t / (2^(bits-1) - 1), scalar math on device
-    (geta.py:788-805 `_d_quant_helper`)."""
+    (geta.py:788-805 `_d_quant_helper`). Same formula as
+    quant.bitwidth.d_for_bits, reduced to a scalar via max over the (1,)
+    params — keep the two in sync."""
     q = jnp.clip(jnp.max(jnp.abs(q_m)), 1e-10, None)
     t = jnp.max(t) if t is not None else 1.0
     return jnp.exp(t * jnp.log(q)) / (2.0 ** (bits - 1.0) - 1.0)
@@ -339,7 +341,11 @@ class GETA:
         curr_k = min(curr_k, global_scores.shape[0])
         order = np.argsort(global_scores, kind="stable")
         top = order[:curr_k]
-        top = np.setdiff1d(top, self.pruned_group_idxes)[:quota]
+        # remove already-pruned candidates while PRESERVING score order
+        # (the reference's np.setdiff1d re-sorts by index — geta.py:167-236
+        # — which can prune a high-importance early-index group over a
+        # lower-scored later one; deliberate deviation)
+        top = top[~np.isin(top, self.pruned_group_idxes)][:quota]
         self.pruned_group_idxes.extend(top.tolist())
 
         for g in self._prunable():
@@ -362,7 +368,8 @@ class GETA:
                         refined = max(int(ratio * cfg.group_divisible),
                                       int(cfg.group_divisible))
                     refined = min(g.num_groups, refined)
-                    n_active = (g.num_groups - len(st["pruned"]) - refined)
+                    n_active = max(
+                        g.num_groups - len(st["pruned"]) - refined, 0)
                     self.target_num_redundant_groups += (
                         n_active - len(st["active_redundant"]))
                     st["active_redundant"] = st["active_redundant"][:n_active]
@@ -458,18 +465,6 @@ class GETA:
     # ------------------------------------------------------------------
     # jitted bodies
     # ------------------------------------------------------------------
-
-    def _leaf_paths(self, params) -> List[str]:
-        out = []
-
-        def visit(node, path):
-            if isinstance(node, dict):
-                for k, v in node.items():
-                    visit(v, f"{path}/{k}" if path else k)
-            else:
-                out.append(path)
-
-        return out
 
     def _build_apply(self, phase: str, prune_ids: Tuple[str, ...]):
         cfg = self.cfg
@@ -702,8 +697,13 @@ class GETA:
                     new = p - gammas[gid] * m * decay_src
                     new = new - lr * get_path(gv, e.path)
                     params = set_path(params, e.path, new)
-            # 4. Everyone else: their usual branch
-            skip = set(prune_entries)
+            # 4. Everyone else: their usual branch. NO_PRUNE entries of
+            #    prune groups that are NOT quant scalars (e.g. lora_a,
+            #    LoraLinearOTO semantics) still train with plain GD — the
+            #    reference's prune branch only withholds the decayed
+            #    tensors and the quant trio (geta.py:944-1008)
+            skip = {path for path, (gid_, tf_) in prune_entries.items()
+                    if tf_ != Transform.NO_PRUNE or _is_quant_leaf(path)}
             for gid in prune_ids:
                 for lp in prune_layers[gid]:
                     for name in QUANT_SUFFIXES:

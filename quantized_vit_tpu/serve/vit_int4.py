@@ -55,23 +55,7 @@ from ..quant.lsfq import lsfq_levels, lsfq_top_level, _safe_pow, _EPS
 from ..quant.packing import pack_int4
 
 
-def _act_levels(x, aq):
-    """Runtime activation quantization to int8 levels (lsfq_levels inlined
-    with precomputed constants; VPU elementwise, fuses with the preceding
-    LN/GELU under jit). Level math in f32 regardless of the glue dtype so
-    bf16 serving doesn't flip levels."""
-    d, q_m, t, top = aq["d"], aq["q_m"], aq["t"], aq["top"]
-    x = x.astype(jnp.float32)
-    x_abs = jnp.abs(x)
-    input_pow = _safe_pow(x_abs, t)
-    lv = jnp.round(input_pow / d)
-    lv = jnp.where(x_abs <= 0.0, 0.0, lv)
-    lv = jnp.where(x_abs >= q_m, top.astype(lv.dtype), lv)
-    lv = jnp.minimum(lv, top.astype(lv.dtype))
-    return (jnp.sign(x) * lv).astype(jnp.int8)
-
-
-def _export_layer(layer_params: Dict[str, Any], transposed: bool = False):
+def _export_layer(layer_params: Dict[str, Any]):
     """One QuantDense/QuantConv -> serving artifact entry."""
     kernel = layer_params["kernel"]
     if kernel.ndim == 4:  # conv HWIO -> [H*W*I, O] gemm form
@@ -89,6 +73,28 @@ def _export_layer(layer_params: Dict[str, Any], transposed: bool = False):
     t_a = layer_params.get("t_quant_act", jnp.ones_like(d_a))
     top_a = lsfq_top_level(d_a, qm_a, t_a)[0]
 
+    # Layers trained above 8 bits (export before GETA's projection settles)
+    # can't ride the int8 MXU path at their learned step size — level
+    # CLIPPING would corrupt values, so instead REQUANTIZE properly to
+    # 8 bits: widen d to d(8 bits) and recompute the levels. This is a
+    # sound 8-bit quantization of the same float tensor (numerics change
+    # by at most d8/2 per value), flagged with a warning.
+    if top_w > 127 or float(top_a) > 127:
+        import warnings
+
+        from ..quant.bitwidth import d_for_bits
+
+        warnings.warn(
+            f"layer trained above 8 bits (weight top {top_w}, act top "
+            f"{float(top_a):.0f}); requantizing to 8 bits for the INT8 "
+            "serving path", stacklevel=2)
+        if top_w > 127:
+            d_w = jnp.broadcast_to(d_for_bits(8.0, qm_w, t_w), d_w.shape)
+            w_lv = lsfq_levels(kernel, d_w, qm_w, t_w)
+            top_w = int(lsfq_top_level(d_w, qm_w, t_w)[0])
+        if float(top_a) > 127:
+            d_a = jnp.broadcast_to(d_for_bits(8.0, qm_a, t_a), d_a.shape)
+            top_a = lsfq_top_level(d_a, qm_a, t_a)[0]
     act = {"d": d_a[0], "q_m": qm_a[0], "t": t_a[0],
            "top": jnp.minimum(top_a, 127)}
     act_pow = bool(abs(float(t_a[0]) - 1.0) > 1e-6)
@@ -112,7 +118,7 @@ def export_vit_int4(cfg: ViTConfig, params: Dict[str, Any]) -> Dict[str, Any]:
     ``fmt`` per layer is a static string ('int4'/'int8'); everything else is
     arrays, so the artifact passes straight through jit as a pytree.
     """
-    art: Dict[str, Any] = {"cfg": None}
+    art: Dict[str, Any] = {}
     art["patch_embed"] = _export_layer(params["patch_embed"]["proj"])
     art["cls_token"] = params["cls_token"]
     art["pos_embed"] = params["pos_embed"]

@@ -186,3 +186,40 @@ def test_hesso_prunes_to_target():
         params = opt.step(params, grad_fn(params))
     m = opt.compute_metrics(params)
     assert m["num_zero_groups"] == opt.target_num_redundant_groups
+
+
+def test_lora_no_prune_entries_keep_training_during_pruning():
+    """Regression: non-quant NO_PRUNE entries of prune groups (lora_a) were
+    frozen during prune-mode steps; they must keep receiving plain GD
+    (LoraLinearOTO semantics — lora_a trains, only the decayed tensors and
+    quant trio are withheld)."""
+    import flax
+
+    from quantized_vit_tpu.graph.builders import lora_layer_entries
+    from quantized_vit_tpu.models import LoraDense
+    from quantized_vit_tpu.opt import GETA, GETAConfig
+    from quantized_vit_tpu.opt.groups import NodeGroup
+
+    m = LoraDense(features=8, rank=2, alpha=4.0)
+    x = jnp.array(np.random.default_rng(0).standard_normal((3, 6)),
+                  jnp.float32)
+    params = {"layer": flax.core.unfreeze(
+        m.init(jax.random.PRNGKey(0), x)["params"])}
+    rng = np.random.default_rng(1)
+    params["layer"]["lora_a"] = jnp.array(
+        rng.standard_normal(params["layer"]["lora_a"].shape) * 0.1,
+        jnp.float32)
+    g = NodeGroup(id="layer", entries=lora_layer_entries(params, "layer"),
+                  num_groups=8)
+    opt = GETA([g], params, GETAConfig(
+        lr=1e-2, lr_quant=1e-3, target_group_sparsity=0.25,
+        start_projection_step=100, projection_steps=10,
+        projection_periods=1,
+        start_pruning_step=1, pruning_steps=6, pruning_periods=1))
+    ones = jax.tree.map(jnp.ones_like, params)
+    p = params
+    a_before = np.asarray(p["layer"]["lora_a"])
+    for _ in range(4):  # inside the pruning window
+        p = opt.step(p, ones)
+    a_after = np.asarray(p["layer"]["lora_a"])
+    assert not np.array_equal(a_before, a_after)  # lora_a trained

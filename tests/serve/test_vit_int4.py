@@ -122,3 +122,37 @@ def test_sharded_serving_matches_unsharded():
             y_sh = np.asarray(
                 vit_int4_forward(art_sh, x_sh, cfg_sh, use_pallas=False))
     np.testing.assert_allclose(y_sh, y_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_export_requantizes_layers_above_8_bits():
+    """Regression: layers trained above int8 range were silently level-
+    CLIPPED (wrong logits). Export now requantizes them to a proper 8-bit
+    grid (with a warning) — the artifact forward must match the fake-quant
+    forward of the model REPROJECTED to 8 bits, not the clipped one."""
+    import warnings
+
+    from quantized_vit_tpu.quant.bitwidth import d_for_bits
+
+    cfg, model, params, x = _build(10.0)  # 10-bit: top level 511
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        art = export_vit_int4(cfg, params)
+    assert any("requantizing to 8 bits" in str(x.message) for x in w)
+
+    # reproject the fake-quant model itself to 8 bits -> must match
+    def reproject(node):
+        if not isinstance(node, dict):
+            return node
+        out = {k: reproject(v) for k, v in node.items()}
+        for sfx in ("wt", "act"):
+            if f"d_quant_{sfx}" in out:
+                t = out.get(f"t_quant_{sfx}")
+                out[f"d_quant_{sfx}"] = jnp.broadcast_to(
+                    d_for_bits(8.0, out[f"q_m_{sfx}"], t),
+                    out[f"d_quant_{sfx}"].shape)
+        return out
+
+    p8 = reproject(params)
+    y_fake = np.asarray(model.apply({"params": p8}, x))
+    y_int = np.asarray(vit_int4_forward(art, x, cfg, use_pallas=False))
+    np.testing.assert_allclose(y_int, y_fake, rtol=2e-4, atol=2e-4)
