@@ -21,6 +21,11 @@ from .partition import (
     shard_params,
     data_sharding,
 )
+from .sharded_ckpt import (
+    restore_sharded_checkpoint,
+    save_sharded_checkpoint,
+    scan_sharded_checkpoint,
+)
 from .pipeline import (
     gpipe_blocks,
     stack_block_params,
@@ -43,6 +48,9 @@ __all__ = [
     "partition_specs",
     "shard_params",
     "data_sharding",
+    "restore_sharded_checkpoint",
+    "save_sharded_checkpoint",
+    "scan_sharded_checkpoint",
     "gpipe_blocks",
     "stack_block_params",
     "unstack_block_params",
