@@ -144,27 +144,35 @@ def _n_keys(n: int, n_valid: int, itemsize: int) -> int:
     return min(n, -(-n_valid // sub) * sub)
 
 
+_LOG2E = 1.4426950408889634
+
+
 def _score_one_head(q, k, sm_scale, int_attention):
-    """Score matmul for one head; sm_scale is pre-folded into q (an [n, hd]
-    multiply instead of an [n, n] one)."""
+    """Score matmul for one head, in log2 units: sm_scale*log2(e) is
+    pre-folded into q (an [n, hd] multiply instead of an [n, n] one), so the
+    softmax can use exp2 directly — one fewer VPU pass over the [n, n]
+    score matrix than exp (which lowers to exp2(x*log2e) on the VPU)."""
     if int_attention:
         q_lv, q_s = _dyn_int8(q * sm_scale)
         k_lv, k_s = _dyn_int8(k)
         return jax.lax.dot_general(
             q_lv, k_lv, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
-        ).astype(jnp.float32) * (q_s * k_s)
+        ).astype(jnp.float32) * (q_s * k_s * _LOG2E)
     return jax.lax.dot_general(
-        (q.astype(jnp.float32) * sm_scale).astype(q.dtype), k,
+        (q.astype(jnp.float32) * (sm_scale * _LOG2E)).astype(q.dtype), k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
 
-def _softmax_av(s, v, col, n_valid, int_attention):
-    """Masked softmax with DEFERRED normalization: the row-sum division runs
-    on the [n, hd] attention output instead of the [n, n] probability matrix
-    (3.25x fewer elements at ViT-B shapes). exp/max stay f32.
+def _softmax_av(s2, v, col, n_valid, int_attention):
+    """Masked softmax with DEFERRED normalization: returns (o_un, p_sum) so
+    the row-sum division runs on the [n, hd] attention output instead of
+    the [n, n] probability matrix (3.25x fewer elements at ViT-B shapes) —
+    and the caller can fold its own scaling (e.g. the quantizer's 1/d) into
+    the same divide. ``s2`` is in log2 units (see _score_one_head); exp2 and
+    the row max stay f32.
 
     Measured alternatives that LOST on v5e (tools/exp_attn.py): row sums on
     the MXU via a ones column in v (unaligned 65-lane concat/slice relayouts
@@ -172,9 +180,8 @@ def _softmax_av(s, v, col, n_valid, int_attention):
     score layout (sublane reductions aren't cheaper), and approx-reciprocal
     normalization (breaks bit-parity with the XLA mirror for ~2us)."""
     if col is not None:
-        s = jnp.where(col < n_valid, s, -1e30)
-    s = s - jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s)
+        s2 = jnp.where(col < n_valid, s2, -1e30)
+    p = jnp.exp2(s2 - jnp.max(s2, axis=-1, keepdims=True))
     if int_attention:
         # unnormalized p in [0, 1]: fixed scale 1/127; v dynamically scaled
         p_lv = jnp.round(p * 127.0).astype(jnp.int8)
@@ -182,17 +189,16 @@ def _softmax_av(s, v, col, n_valid, int_attention):
         o_un = jax.lax.dot_general(
             p_lv, v_lv, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
-        ).astype(jnp.float32) * (v_s / 127.0)
-        p_sum = jnp.sum(p_lv.astype(jnp.float32), axis=-1,
-                        keepdims=True) * (1.0 / 127.0)
+        ).astype(jnp.float32) * v_s
+        p_sum = jnp.sum(p_lv.astype(jnp.float32), axis=-1, keepdims=True)
     else:
         pb = p.astype(v.dtype)
         o_un = jax.lax.dot_general(
             pb, v, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        p_sum = jnp.sum(pb.astype(jnp.float32), axis=-1, keepdims=True)
-    return o_un / p_sum
+        p_sum = jnp.sum(p, axis=-1, keepdims=True)
+    return o_un, p_sum
 
 
 def _attn_qkv_kernel(x_ref, *rest, heads: int, head_dim: int,
@@ -231,12 +237,20 @@ def _attn_qkv_kernel(x_ref, *rest, heads: int, head_dim: int,
         if h + 1 < heads:
             q1, k1, v_cur = qkv_h(h + 1)
             s_next = _score_one_head(q1, k1, sm_scale, int_attention)
-        o = _softmax_av(s_cur, v_use, col, n_valid, int_attention)
-        if quantize:
+        o_un, p_sum = _softmax_av(s_cur, v_use, col, n_valid, int_attention)
+        if quantize and not out_pow:
+            # fold the quantizer's 1/d into the deferred normalization: one
+            # [n, 1] multiply instead of an [n, hd] pass
+            lv = jnp.clip(jnp.round(o_un * (1.0 / (p_sum * d_ref[0]))),
+                          -top_ref[0].astype(jnp.float32),
+                          top_ref[0].astype(jnp.float32))
+            o_ref[0, :, h * head_dim:(h + 1) * head_dim] = lv.astype(jnp.int8)
+        elif quantize:
             o_ref[0, :, h * head_dim:(h + 1) * head_dim] = _quantize_f32(
-                o, d_ref[0], t_ref[0], top_ref[0], out_pow)
+                o_un / p_sum, d_ref[0], t_ref[0], top_ref[0], out_pow)
         else:
-            o_ref[0, :, h * head_dim:(h + 1) * head_dim] = o.astype(o_ref.dtype)
+            o_ref[0, :, h * head_dim:(h + 1) * head_dim] = (
+                o_un / p_sum).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -328,33 +342,37 @@ def attention_qkv_xla(qkv, *, heads, sm_scale, n_valid=None,
             return lv.astype(jnp.int8), s
         q_lv, q_s = dyn(q.astype(jnp.float32) * sm_scale)
         k_lv, k_s = dyn(k)
-        s = jnp.einsum("bnhd,bmhd->bhnm", q_lv, k_lv,
-                       preferred_element_type=jnp.int32).astype(jnp.float32)
-        s = s * (jnp.transpose(q_s, (0, 2, 1, 3))
-                 * jnp.transpose(k_s, (0, 2, 1, 3)))
+        s2 = jnp.einsum("bnhd,bmhd->bhnm", q_lv, k_lv,
+                        preferred_element_type=jnp.int32).astype(jnp.float32)
+        s2 = s2 * (jnp.transpose(q_s, (0, 2, 1, 3))
+                   * jnp.transpose(k_s, (0, 2, 1, 3)) * _LOG2E)
     else:
-        qs = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
-        s = jnp.einsum("bnhd,bmhd->bhnm", qs, k,
-                       preferred_element_type=jnp.float32)
+        qs = (q.astype(jnp.float32) * (sm_scale * _LOG2E)).astype(q.dtype)
+        s2 = jnp.einsum("bnhd,bmhd->bhnm", qs, k,
+                        preferred_element_type=jnp.float32)
     if n_valid < nk:
         col = jnp.arange(nk)
-        s = jnp.where(col[None, None, None, :] < n_valid, s, -1e30)
-    s = s - jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s)
+        s2 = jnp.where(col[None, None, None, :] < n_valid, s2, -1e30)
+    p = jnp.exp2(s2 - jnp.max(s2, axis=-1, keepdims=True))
     if int_attention:
         p_lv = jnp.round(p * 127.0).astype(jnp.int8)
         v_lv, v_s = dyn(v)
-        o = jnp.einsum("bhnm,bmhd->bnhd", p_lv, v_lv,
-                       preferred_element_type=jnp.int32).astype(jnp.float32)
-        o = o * (v_s / 127.0)
-        p_sum = jnp.sum(p_lv.astype(jnp.float32), axis=-1) * (1.0 / 127.0)
+        o_un = jnp.einsum("bhnm,bmhd->bnhd", p_lv, v_lv,
+                          preferred_element_type=jnp.int32).astype(jnp.float32)
+        o_un = o_un * v_s
+        p_sum = jnp.sum(p_lv.astype(jnp.float32), axis=-1)
     else:
         pb = p.astype(qkv.dtype)
-        o = jnp.einsum("bhnm,bmhd->bnhd", pb, v,
-                       preferred_element_type=jnp.float32)
-        p_sum = jnp.sum(pb.astype(jnp.float32), axis=-1)
-    o = o / jnp.transpose(p_sum, (0, 2, 1))[..., None]
-    o = o.reshape(b, n, heads * head_dim)
+        o_un = jnp.einsum("bhnm,bmhd->bnhd", pb, v,
+                          preferred_element_type=jnp.float32)
+        p_sum = jnp.sum(p, axis=-1)
+    p_sum = jnp.transpose(p_sum, (0, 2, 1))[..., None]
+    if out_d is not None and not out_pow:
+        lv = jnp.clip(
+            jnp.round(o_un * (1.0 / (p_sum * jnp.asarray(out_d, jnp.float32)))),
+            -jnp.asarray(out_top, jnp.float32), jnp.asarray(out_top, jnp.float32))
+        return lv.astype(jnp.int8).reshape(b, n, heads * head_dim)
+    o = (o_un / p_sum).reshape(b, n, heads * head_dim)
     if out_d is not None:
         return _quantize_f32(o, jnp.asarray(out_d, jnp.float32),
                              jnp.asarray(out_t, jnp.float32),

@@ -48,12 +48,16 @@ _VMEM_BUDGET = 10 * 2**20  # headroom below the 16 MB scoped limit: Mosaic
 # stacks more f32 temporaries than the analytic estimate (observed ~1.4x)
 
 
-def _quantize_f32(x, d, t, top, act_pow: bool):
+def _quantize_f32(x, d, t, top, act_pow: bool, folded: bool = False):
     """LSFQ levels: clip(round(|x|^t / d), -top, top) * sign, f32 math.
 
     Equal to the reference's masked form sign(x)*min(round(|x|^t/d), top)
     with the |x|>=q_m clamp, because round is monotone and symmetric (RTNE)
     and top = round((q_m^t - q_s)/d) — see quant/lsfq.py:lsfq_top_level.
+
+    ``folded``: the caller already multiplied 1/d into x's affine producer
+    (LN gamma/beta or the dequant scale/bias), so the per-element multiply
+    is skipped — one VPU pass saved per call at ViT serving shapes.
     """
     x = x.astype(jnp.float32)
     top_f = top.astype(jnp.float32)
@@ -61,6 +65,8 @@ def _quantize_f32(x, d, t, top, act_pow: bool):
         x_abs = jnp.abs(x)
         p = jnp.exp(t * jnp.log(jnp.maximum(x_abs, 1e-30)))
         lv = jnp.sign(x) * jnp.minimum(jnp.round(p / d), top_f)
+    elif folded:
+        lv = jnp.clip(jnp.round(x), -top_f, top_f)
     else:
         lv = jnp.clip(jnp.round(x * (1.0 / d)), -top_f, top_f)
     return lv.astype(jnp.int8)
@@ -83,17 +89,17 @@ def _layernorm_f32(x, gamma, beta, eps, k_real=None):
 
 
 # odd-polynomial erf: erf(v) ~= v * Q(v^2) on [-3, 3], clamped to +-1
-# outside (erf(3) = 1 - 2.2e-5). Least-squares fit on Chebyshev nodes; max
-# erf err 4.0e-4, max GELU err 6.7e-4 — far below half an int4/int8 quant
-# step (d/2 >= 1e-2 for any practical learned step size). Division- and
-# exp-free: the GELU epilogue runs serialized with the MXU inside the
-# kernel, so VPU ops/element is the direct cost — profiling the fc1 kernel
-# on v5e showed each extra coefficient costs ~1.7us at ViT-B batch-8
-# shapes, so the polynomial is kept as short as the error budget allows.
+# outside (erf(3) = 1 - 2.2e-5). |y|-weighted least-squares fit (the GELU
+# epilogue multiplies the erf error by ~|y|/2, so equalizing |y|*err gives
+# the shortest polynomial for a given GELU error): max |GELU err| 4.9e-3,
+# below half an int4/int8 quant step (d/2 >= 1e-2 for any practical learned
+# step size). Division- and exp-free: the GELU epilogue's VPU passes add
+# near-linearly to the MXU time inside the kernel (measured on v5e — see
+# tools/profile_b32.py), so every coefficient costs ~10us/pass at ViT-B
+# batch-32 fc1 shapes; the polynomial is the shortest the budget allows.
 _ERF_COEFS = (
-    1.1266230624e+00, -3.6713456519e-01, 9.9877804981e-02,
-    -1.8359797121e-02, 2.1096815574e-03, -1.3503004762e-04,
-    3.6447687423e-06,
+    1.0853278493e+00, -2.9069833294e-01, 5.2523799125e-02,
+    -4.8790235085e-03, 1.7809580677e-04,
 )
 
 
@@ -114,8 +120,26 @@ def _erf_f32(x):
 
 
 def _gelu_f32(x):
-    # exact (erf) GELU — matches jax.nn.gelu(approximate=False) to ~1e-7
+    # erf GELU — matches jax.nn.gelu(approximate=False) to <=4.9e-3 abs
     return x * 0.5 * (1.0 + _erf_f32(x * (2.0**-0.5)))
+
+
+_SQRT2 = 2.0**0.5
+
+
+def _gelu_quant_folded(z, d, top):
+    """round(GELU(y)/d) levels from z = y/sqrt(2) in one fused chain.
+
+    The wrapper folds 1/sqrt(2) into the dequant scale/bias so the kernel
+    receives z directly; GELU(y)/d = (z * sqrt(2)/(2d)) * (1 + erf(z)).
+    Saves the y-recovery and the quantizer's 1/d multiply — two VPU passes
+    per fc1 call vs gelu-then-quantize.
+    """
+    e = _erf_f32(z)
+    c2 = _SQRT2 * 0.5 / d  # scalar
+    top_f = top.astype(jnp.float32)
+    lv = jnp.clip(jnp.round((z * c2) * (1.0 + e)), -top_f, top_f)
+    return lv.astype(jnp.int8)
 
 
 def _dots_int(lv, w_ref, w_lo_ref, w_hi_ref, *, fmt: str, k_half: int):
@@ -139,9 +163,32 @@ def _dots_int(lv, w_ref, w_lo_ref, w_hi_ref, *, fmt: str, k_half: int):
     return acc
 
 
+def _pipeline_splits(np_: int, bm: int, prologue) -> tuple[int, int]:
+    """(row_chunks R, n_stripes S) for intra-kernel MXU/VPU pipelining.
+
+    The prologue (LN+quant) and epilogue (dequant/GELU/quant/residual) are
+    VPU work serialized with the MXU dots inside one program; splitting the
+    output into S lane stripes and the rows into R chunks lets the Mosaic
+    scheduler run stripe s+1's dot while stripe s's epilogue executes (and
+    row chunk r+1's prologue while chunk r's first dot executes). Measured
+    on v5e at ViT-B batch-32 shapes this took the fc1 (GELU-epilogue)
+    kernel from 34% to ~?% of the int8 roofline — see tools/profile_b32.py.
+
+    Stripes stay multiples of 128 lanes (vreg-aligned slices)."""
+    lanes = np_ // 128
+    s = 1
+    for cand in (4, 3, 2):
+        if lanes % cand == 0 and np_ // cand >= 256:
+            s = cand
+            break
+    r = 2 if (prologue is not None and bm >= 64) else 1
+    return r, s
+
+
 def _fused_kernel(*refs, fmt: str, k_half: int, k_real: int, prologue,
                   epilogue, act_pow: bool, out_pow: bool, ln_eps: float,
-                  has_bias: bool):
+                  has_bias: bool, row_chunks: int = 1, n_stripes: int = 1,
+                  act_folded: bool = False, out_folded: bool = False):
     """Ref order: x, w, scale, [bias], [ln_g, ln_b], [residual],
     [smem scalars: act_d, act_t, act_top][, out_d, out_t, out_top], o,
     [w_lo, w_hi]."""
@@ -175,31 +222,77 @@ def _fused_kernel(*refs, fmt: str, k_half: int, k_real: int, prologue,
             w_lo_ref[:] = ((p << 28) >> 28).astype(jnp.int8)
             w_hi_ref[:] = (p >> 4).astype(jnp.int8)
 
-    # ---- prologue: float x -> int8 levels (or pass-through levels) ----
-    if prologue is None:
-        lv = x_ref[:]
-    else:
-        xx = x_ref[:]
+    def make_lv(rows):
+        if prologue is None:
+            return x_ref[rows, :]
+        xx = x_ref[rows, :]
         if prologue == "ln_quant":
             xx = _layernorm_f32(xx, ln_g_ref[:], ln_b_ref[:], ln_eps,
                                 k_real=k_real)
-        lv = _quantize_f32(xx, act_d[0], act_t[0], act_top[0], act_pow)
+        return _quantize_f32(xx, act_d[0], act_t[0], act_top[0], act_pow,
+                             folded=act_folded)
 
-    acc = _dots_int(lv, w_ref, w_lo_ref, w_hi_ref, fmt=fmt, k_half=k_half)
+    def dot_stripe(lv, cols):
+        if fmt == "int4":
+            acc = jax.lax.dot_general(
+                lv[:, :k_half], w_lo_ref[:, cols],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            acc += jax.lax.dot_general(
+                lv[:, k_half:], w_hi_ref[:, cols],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            return acc
+        return jax.lax.dot_general(
+            lv, w_ref[:, cols],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
 
-    # ---- epilogue: dequant (+bias), then residual / (gelu+)quant ----
-    out = acc.astype(jnp.float32) * scale_ref[:]
-    if has_bias:
-        out = out + bias_ref[:]
-    if epilogue == "residual":
-        out = out + res_ref[:].astype(jnp.float32)
-        o_ref[:] = out.astype(o_ref.dtype)
-    elif epilogue in ("quant", "gelu_quant"):
-        if epilogue == "gelu_quant":
-            out = _gelu_f32(out)
-        o_ref[:] = _quantize_f32(out, out_d[0], out_t[0], out_top[0], out_pow)
-    else:
-        o_ref[:] = out.astype(o_ref.dtype)
+    def finish(acc, rows, cols):
+        out = acc.astype(jnp.float32) * scale_ref[:, cols]
+        if has_bias:
+            out = out + bias_ref[:, cols]
+        if epilogue == "residual":
+            out = out + res_ref[rows, cols].astype(jnp.float32)
+            o_ref[rows, cols] = out.astype(o_ref.dtype)
+        elif epilogue == "gelu_quant" and out_folded:
+            # out holds z = y/sqrt(2) (scale/bias pre-folded by the wrapper)
+            o_ref[rows, cols] = _gelu_quant_folded(out, out_d[0], out_top[0])
+        elif epilogue in ("quant", "gelu_quant"):
+            if epilogue == "gelu_quant":
+                out = _gelu_f32(out)
+            o_ref[rows, cols] = _quantize_f32(out, out_d[0], out_t[0],
+                                              out_top[0], out_pow,
+                                              folded=out_folded)
+        else:
+            o_ref[rows, cols] = out.astype(o_ref.dtype)
+
+    bm = x_ref.shape[0]
+    np_ = o_ref.shape[1]
+    r_n, s_n = row_chunks, n_stripes
+    h = bm // r_n
+    sub = np_ // s_n
+    row_sl = [slice(r * h, (r + 1) * h) for r in range(r_n)]
+    col_sl = [slice(s * sub, (s + 1) * sub) for s in range(s_n)]
+
+    # Software pipeline: compute lv chunk 0, issue its first dot (MXU), then
+    # compute lv chunk 1 (VPU) while it runs; in the task loop, stripe i+1's
+    # dot is issued BEFORE stripe i's epilogue so the scheduler overlaps the
+    # epilogue's VPU work with the next dot's MXU work.
+    lvs = [None] * r_n
+    lvs[0] = make_lv(row_sl[0])
+    tasks = [(r, s) for s in range(s_n) for r in range(r_n)]
+    accs: dict = {tasks[0]: dot_stripe(lvs[0], col_sl[0])}
+    for r in range(1, r_n):
+        lvs[r] = make_lv(row_sl[r])
+    for i, (r, s) in enumerate(tasks):
+        if i + 1 < len(tasks):
+            rn, sn = tasks[i + 1]
+            accs[(rn, sn)] = dot_stripe(lvs[rn], col_sl[sn])
+        finish(accs.pop((r, s)), row_sl[r], col_sl[s])
 
 
 # M-tile preference order, measured on v5e at ViT-B serving shapes (see
@@ -291,6 +384,25 @@ def fused_quant_matmul(
     if has_bias:
         bias = jnp.asarray(bias, jnp.float32)
 
+    # Constant folding (trace-time [N]/[K]-vector ops, saves whole VPU
+    # passes over the [M, N] output / [M, K] input inside the kernel):
+    #  - ln_quant prologue, t==1: 1/act_d folds into LN gamma/beta;
+    #  - quant epilogue, t==1: 1/out_d folds into the dequant scale/bias;
+    #  - gelu_quant epilogue, t==1: 1/sqrt(2) folds into scale/bias so the
+    #    kernel gets z = y/sqrt(2) directly (see _gelu_quant_folded).
+    act_folded = prologue == "ln_quant" and not act_pow
+    if act_folded:
+        inv_d = 1.0 / jnp.asarray(act_d, jnp.float32)
+        ln_scale = jnp.asarray(ln_scale, jnp.float32) * inv_d
+        ln_bias = jnp.asarray(ln_bias, jnp.float32) * inv_d
+    out_folded = epilogue in ("quant", "gelu_quant") and not out_pow
+    if out_folded:
+        f = (1.0 / jnp.asarray(out_d, jnp.float32) if epilogue == "quant"
+             else jnp.float32(2.0**-0.5))
+        scale = scale * f
+        if has_bias:
+            bias = bias * f
+
     # K alignment: int4 needs each packed half sublane-aligned (K mult of 256)
     kp = _round_up(k, 256 if fmt == "int4" else 128)
     np_ = _round_up(n, 128)
@@ -370,11 +482,14 @@ def fused_quant_matmul(
     else:
         w_hbm_bytes = kp * np_
 
+    r_n, s_n = _pipeline_splits(np_, bm, prologue)
     out = pl.pallas_call(
         functools.partial(
             _fused_kernel, fmt=fmt, k_half=kp // 2, k_real=k,
             prologue=prologue, epilogue=epilogue, act_pow=act_pow,
-            out_pow=out_pow, ln_eps=ln_eps, has_bias=has_bias),
+            out_pow=out_pow, ln_eps=ln_eps, has_bias=has_bias,
+            row_chunks=r_n, n_stripes=s_n,
+            act_folded=act_folded, out_folded=out_folded),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, np_), lambda i: (i, 0),
@@ -411,8 +526,26 @@ def fused_quant_matmul_xla(
     out_d=None, out_t=None, out_top=None, out_pow=False,
     out_dtype=jnp.bfloat16,
 ):
-    """Pure-XLA mirror of :func:`fused_quant_matmul` (same f32 level math)."""
+    """Pure-XLA mirror of :func:`fused_quant_matmul` (same f32 level math,
+    including the constant-folded prologue/epilogue forms, so the two paths
+    stay bit-identical)."""
     from .reference import int4_matmul_ref, int8_matmul_ref
+
+    scale = jnp.asarray(scale, jnp.float32)
+    if bias is not None:
+        bias = jnp.asarray(bias, jnp.float32)
+    act_folded = prologue == "ln_quant" and not act_pow
+    if act_folded:
+        inv_d = 1.0 / jnp.asarray(act_d, jnp.float32)
+        ln_scale = jnp.asarray(ln_scale, jnp.float32) * inv_d
+        ln_bias = jnp.asarray(ln_bias, jnp.float32) * inv_d
+    out_folded = epilogue in ("quant", "gelu_quant") and not out_pow
+    if out_folded:
+        f = (1.0 / jnp.asarray(out_d, jnp.float32) if epilogue == "quant"
+             else jnp.float32(2.0**-0.5))
+        scale = scale * f
+        if bias is not None:
+            bias = bias * f
 
     if prologue is None:
         lv = x
@@ -424,18 +557,22 @@ def fused_quant_matmul_xla(
                                 k_real=x.shape[-1])
         lv = _quantize_f32(xx, jnp.asarray(act_d, jnp.float32),
                            jnp.asarray(act_t, jnp.float32),
-                           jnp.asarray(act_top, jnp.int32), act_pow)
+                           jnp.asarray(act_top, jnp.int32), act_pow,
+                           folded=act_folded)
     acc = int4_matmul_ref(lv, w) if fmt == "int4" else int8_matmul_ref(lv, w)
-    out = acc.astype(jnp.float32) * jnp.broadcast_to(
-        jnp.asarray(scale, jnp.float32), (acc.shape[-1],))
+    out = acc.astype(jnp.float32) * jnp.broadcast_to(scale, (acc.shape[-1],))
     if bias is not None:
-        out = out + jnp.asarray(bias, jnp.float32)
+        out = out + bias
     if epilogue == "residual":
         return (out + residual.astype(jnp.float32)).astype(out_dtype)
+    if epilogue == "gelu_quant" and out_folded:
+        return _gelu_quant_folded(out, jnp.asarray(out_d, jnp.float32),
+                                  jnp.asarray(out_top, jnp.int32))
     if epilogue in ("quant", "gelu_quant"):
         if epilogue == "gelu_quant":
             out = _gelu_f32(out)
         return _quantize_f32(out, jnp.asarray(out_d, jnp.float32),
                              jnp.asarray(out_t, jnp.float32),
-                             jnp.asarray(out_top, jnp.int32), out_pow)
+                             jnp.asarray(out_top, jnp.int32), out_pow,
+                             folded=out_folded)
     return out.astype(out_dtype)

@@ -51,6 +51,7 @@ class QLayerArtifact:
 from ..models.vit import ViTConfig
 from ..ops import (attention_qkv, attention_qkv_xla, fused_quant_matmul,
                    fused_quant_matmul_xla)
+from ..ops.fused import _quantize_f32
 from ..quant.lsfq import lsfq_levels, lsfq_top_level, _safe_pow, _EPS
 from ..quant.packing import pack_int4
 
@@ -202,12 +203,34 @@ def vit_int4_forward(art, images, cfg: ViTConfig, use_pallas: bool = True,
     mm = fused_quant_matmul if use_pallas else fused_quant_matmul_xla
     attn_fn = attention_qkv if use_pallas else attention_qkv_xla
 
-    # patch embed as gemm: [B, g, p, g, p, C] -> [B*g*g, p*p*C]
-    x = images.reshape(b, g, p, g, p, cfg.in_channels)
-    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
-        b * g * g, p * p * cfg.in_channels)
-    x = _qmatmul(x, art["patch_embed"], use_pallas, float_dtype)
-    x = x.reshape(b, g * g, dim)
+    # Patch embed as a bf16 LEVEL conv: quantize the image to integer
+    # levels elementwise (layout-free), then run XLA's native strided conv
+    # on bf16 levels with f32 accumulation. Bit-exact vs the int gemm form
+    # because levels (<=127) and their products are exact in bf16 and the
+    # accumulator stays below 2^24 (768 * top_w * top_a <= 1.24e7); avoids
+    # the [B,224,224,3] -> [B*196,768] relayout that cost ~570us/batch-32
+    # on v5e (patchify transposes cross the lane dim, so XLA materializes
+    # them). Replaces the reference's QuantizeConv2d patch embed
+    # (vit_model.py:84-103, quant_layers.py:575-587).
+    pe = art["patch_embed"]
+    if pe.fmt == "int4":
+        from ..quant.packing import unpack_int4
+
+        w_lv = unpack_int4(pe.w, axis=0)
+    else:
+        w_lv = pe.w
+    dim = w_lv.shape[1]
+    w_conv = w_lv.reshape(p, p, cfg.in_channels, dim).astype(jnp.bfloat16)
+    img_lv = _quantize_f32(images, pe.act["d"], pe.act["t"], pe.act["top"],
+                           pe.act_pow).astype(jnp.bfloat16)
+    acc = jax.lax.conv_general_dilated(
+        img_lv, w_conv, window_strides=(p, p), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    x = acc * pe.scale
+    if pe.bias is not None:
+        x = x + pe.bias
+    x = x.reshape(b, g * g, dim).astype(float_dtype)
 
     cls = jnp.broadcast_to(art["cls_token"], (b, 1, dim)).astype(float_dtype)
     x = jnp.concatenate([cls, x], axis=1) + art["pos_embed"].astype(float_dtype)

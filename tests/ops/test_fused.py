@@ -135,21 +135,25 @@ def test_fused_unaligned_k_padding():
 
 
 def test_erf_poly_accuracy():
-    """The division/exp-free erf polynomial stays within 4.1e-4 of scipy's
-    erf, i.e. GELU error <= |x|/2 * 4.1e-4 <= 6.7e-4 on the clamp domain —
-    far below half a quantization step (d/2 >= 1e-2 for practical learned
-    step sizes). The polynomial is deliberately short: each coefficient
-    costs ~1.7us of serialized VPU time in the fc1 GELU epilogue at ViT-B
-    serving shapes (ops/fused.py:_ERF_COEFS)."""
+    """The division/exp-free erf polynomial is an |y|-WEIGHTED fit: the GELU
+    epilogue multiplies the erf error by ~|y|/2, so the fit equalizes
+    |y|*err instead of err. Raw erf error is up to 1.3e-2 (near the clamp
+    boundary, where |y| is large enough that GELU output is quantized
+    coarsely anyway) but the composite GELU error stays <= 5e-3 — below
+    half a quantization step (d/2 >= 1e-2 for practical learned step
+    sizes). The polynomial is deliberately short: each coefficient costs
+    ~10us of VPU time per fc1 call at ViT-B batch-32 serving shapes
+    (ops/fused.py:_ERF_COEFS)."""
     from scipy.special import erf as serf
 
     u = np.linspace(-8.0, 8.0, 100001).astype(np.float32)
     mine = np.asarray(_erf_f32(jnp.array(u)))
-    np.testing.assert_allclose(mine, serf(u.astype(np.float64)), atol=4.1e-4)
-    # GELU composite error bound
-    gelu_mine = u * 0.5 * (1.0 + mine)
-    gelu_true = u * 0.5 * (1.0 + serf(u.astype(np.float64)))
-    np.testing.assert_allclose(gelu_mine, gelu_true, atol=7e-4)
+    np.testing.assert_allclose(mine, serf(u.astype(np.float64)), atol=1.3e-2)
+    # GELU composite error bound (gelu(y) for y = sqrt(2)*u)
+    y = np.sqrt(2.0) * u.astype(np.float64)
+    gelu_mine = y * 0.5 * (1.0 + mine)
+    gelu_true = y * 0.5 * (1.0 + serf(u.astype(np.float64)))
+    np.testing.assert_allclose(gelu_mine, gelu_true, atol=5e-3)
 
 
 def test_attention_qkv_matches_xla_and_reference_math():
