@@ -132,10 +132,32 @@ def _operand_kernel(arg_id, shapes, provenance) -> Optional[str]:
     return kernels[0] if len(kernels) == 1 else None
 
 
+@dataclasses.dataclass
+class StemPlan:
+    """Per-stem compression recipe (generic subnet construction).
+
+    Mirrors what the reference's `automated_pruning_compression` derives by
+    DFS at compression time (pruning_compression.py:134-215, 335-346):
+    which group owns the stem's out-dim, which group's kept indices its
+    in-dim follows, and the flatten multiplicity (spatial positions folded
+    into the feature axis between the producer and this stem).
+    """
+
+    kernel_path: str
+    bias_path: Optional[str]
+    group_id: str                     # group owning the out-dim
+    op: str                           # 'dot_general' | 'conv_general_dilated'
+    depthwise: bool
+    in_group_id: Optional[str] = None  # group whose kept idxes the in-dim follows
+    in_spatial: int = 1               # flatten expansion factor
+    in_channels: int = 0              # producer group's channel count
+
+
 def discover_node_groups(model, params, example_input,
                          batch_stats=None,
                          model_kwargs: Optional[dict] = None,
-                         return_edges: bool = False):
+                         return_edges: bool = False,
+                         return_plan: bool = False):
     """Partition a basic model into pruning groups by jaxpr dataflow.
 
     Traces ``model.apply`` on ``example_input`` and runs the pzig steps
@@ -143,6 +165,10 @@ def discover_node_groups(model, params, example_input,
     Raises ValueError when the trace contains structure this basic
     partitioner can't follow soundly next to a kernel (e.g. attention
     reshapes) — use the declarative family builders for those models.
+
+    ``return_plan``: additionally return ``{kernel_path: StemPlan}`` — the
+    in-dim links needed for generic physical compression
+    (compress/auto.py), derived from the same dataflow walk.
     """
     model_kwargs = dict(model_kwargs or {})
     variables = {"params": params}
@@ -219,20 +245,24 @@ def discover_node_groups(model, params, example_input,
     def walk(stem_idx: int):
         stem = stems[stem_idx]
         start = stem.node
-        # (node_id, channel_axis) frontier; axis indexes the node's OUTPUT
+        # (node_id, channel_axis, spatial) frontier; axis indexes the node's
+        # OUTPUT; spatial counts positions folded into the axis by flattens
+        # (pruning_compression.py:335-346 flatten->linear index expansion)
         out_ndim = len(start.shape or ())
-        frontier: List[Tuple[str, int]] = [(start.id, out_ndim - 1)]
-        seen: Set[Tuple[str, int]] = set(frontier)
+        frontier: List[Tuple[str, int, int]] = [(start.id, out_ndim - 1, 1)]
+        seen: Set[Tuple[str, int]] = {(start.id, out_ndim - 1)}
         claimed: Dict[Tuple[str, int], int] = walk.claimed
 
         while frontier:
-            nid, axis = frontier.pop()
+            nid, axis, spatial = frontier.pop()
             if nid in output_ids:
                 unprunable.add(stem_idx)
             for nxt in consumers.get(nid, ()):  # consumers of this value
                 if nxt.op in _STEM_OPS and nxt.id in stem_by_node:
                     j = stem_by_node[nxt.id]
                     stem_edges.add((stem_idx, j))
+                    # dense/conv data input: in-dim follows at compression
+                    in_links.setdefault(j, set()).add((stem_idx, spatial))
                     if stems[j].depthwise:
                         # step 7: depthwise conv joins the incoming group
                         uf.union(stem_idx, j)
@@ -240,14 +270,15 @@ def discover_node_groups(model, params, example_input,
                         key = (nxt.id, nd - 1)
                         if key not in seen:
                             seen.add(key)
-                            frontier.append(key)
-                    # dense/conv data input: in-dim follows at compression
+                            frontier.append((nxt.id, nd - 1, spatial))
                     continue
-                new_axis = _axis_through(nxt, nid, axis, graph)
-                if new_axis is None:
+                stepped = _axis_through(nxt, nid, axis, graph)
+                if stepped is None:
                     # opaque op next to the group -> conservative unprunable
                     unprunable.add(stem_idx)
                     continue
+                new_axis, mult = stepped
+                new_spatial = spatial * mult
                 if nxt.op in _ELEMENTWISE and len(nxt.inputs) > 1:
                     for other in nxt.inputs:
                         if other == nid:
@@ -282,9 +313,10 @@ def discover_node_groups(model, params, example_input,
                 claimed[key] = stem_idx
                 if key not in seen:
                     seen.add(key)
-                    frontier.append(key)
+                    frontier.append((nxt.id, new_axis, new_spatial))
 
     stem_edges: Set[Tuple[int, int]] = set()
+    in_links: Dict[int, Set[Tuple[int, int]]] = {}
     walk.claimed = {}
     for i in range(len(stems)):
         if not stems[i].depthwise:
@@ -332,16 +364,39 @@ def discover_node_groups(model, params, example_input,
             id=gid, entries=entries, num_groups=out_ch,
             is_prunable=ok and not any(i in unprunable for i in members),
         ))
-    if not return_edges:
-        return groups
     gid_of = {root: _layer_of(stems[members[0]].kernel_path)
               for root, members in roots.items()}
-    edges = sorted({
-        (gid_of[uf.find(a)], gid_of[uf.find(b)])
-        for a, b in stem_edges
-        if uf.find(a) != uf.find(b)
-    })
-    return groups, edges
+    ret: List[Any] = [groups]
+    if return_edges:
+        edges = sorted({
+            (gid_of[uf.find(a)], gid_of[uf.find(b)])
+            for a, b in stem_edges
+            if uf.find(a) != uf.find(b)
+        })
+        ret.append(edges)
+    if return_plan:
+        plan: Dict[str, StemPlan] = {}
+        for j, s in enumerate(stems):
+            sp = StemPlan(
+                kernel_path=s.kernel_path, bias_path=s.bias_path,
+                group_id=gid_of[uf.find(j)], op=s.node.op,
+                depthwise=s.depthwise)
+            feeds = in_links.get(j, set())
+            feed_roots = {uf.find(i) for i, _ in feeds}
+            spatials = {sp_ for _, sp_ in feeds}
+            if len(feed_roots) == 1 and len(spatials) == 1:
+                r = feed_roots.pop()
+                sp.in_group_id = gid_of[r]
+                sp.in_spatial = spatials.pop()
+                sp.in_channels = stems[roots[r][0]].out_channels
+            elif feeds:
+                # ambiguous in-feed (concat of groups etc.): leave in-dim
+                # unlinked; construct_subnet_auto refuses if that producer
+                # group was actually pruned
+                sp.in_group_id = None
+            plan[s.kernel_path] = sp
+        ret.append(plan)
+    return ret[0] if len(ret) == 1 else tuple(ret)
 
 
 def trace_cost_report(model, params, example_input,
@@ -403,45 +458,64 @@ def trace_cost_report(model, params, example_input,
 
 
 def _axis_through(node: TraceNode, src_id: str, axis: int,
-                  graph: TracedGraph) -> Optional[int]:
+                  graph: TracedGraph) -> Optional[Tuple[int, int]]:
     """Where does ``axis`` of input ``src_id`` land in ``node``'s output?
-    None = the tracker can't follow (opaque)."""
+
+    Returns (new_axis, spatial_mult) — spatial_mult > 1 when the op folds
+    leading positions into the channel axis (a flatten: [B, H, W, C] ->
+    [B, H*W*C], channel fastest-varying), the case the reference expands
+    at pruning_compression.py:335-346. None = the tracker can't follow.
+    """
     src_shape = graph.by_id[src_id].shape if src_id in graph.by_id else None
     out_shape = node.shape
     if node.op in _ELEMENTWISE or node.op in _PASS_THROUGH:
         if (src_shape is not None and out_shape is not None
                 and len(out_shape) == len(src_shape)):
-            return axis
+            return axis, 1
         # broadcasting binary op: align trailing axes
         if src_shape is not None and out_shape is not None:
             shift = len(out_shape) - len(src_shape)
-            return axis + shift if axis + shift >= 0 else None
-        return axis
+            return (axis + shift, 1) if axis + shift >= 0 else None
+        return axis, 1
     if node.op == "broadcast_in_dim":
-        return len(out_shape) - 1 if out_shape and axis == len(
+        return (len(out_shape) - 1, 1) if out_shape and axis == len(
             src_shape or ()) - 1 else None
     if node.op == "transpose":
         # output axis j takes input axis perm[j]; we don't have perm here,
         # so only the common channels-last-preserved case is followed
         if (src_shape and out_shape and axis == len(src_shape) - 1
                 and out_shape[-1] == src_shape[-1]):
-            return len(out_shape) - 1
+            return len(out_shape) - 1, 1
         return None
     if node.op in ("reduce_sum", "reduce_max", "reduce_min", "reduce_mean",
                    "reduce_prod", "reduce_and", "reduce_or"):
         if (src_shape and out_shape and axis == len(src_shape) - 1
                 and out_shape and out_shape[-1] == src_shape[-1]):
-            return len(out_shape) - 1
+            return len(out_shape) - 1, 1
         return None
     if node.op == "reshape":
         if (src_shape and out_shape and src_shape[-1] == out_shape[-1]
                 and axis == len(src_shape) - 1):
-            return len(out_shape) - 1
+            return len(out_shape) - 1, 1
+        # flatten: trailing dims (incl. the tracked channel axis) collapse
+        # into one feature axis, channels fastest-varying
+        if (src_shape and out_shape and axis == len(src_shape) - 1
+                and len(out_shape) < len(src_shape)
+                and out_shape[-1] != src_shape[-1]
+                and src_shape[-1] > 0
+                and out_shape[-1] % src_shape[-1] == 0):
+            folded = out_shape[-1] // src_shape[-1]
+            lead = 1
+            for k in range(len(src_shape) - 2,
+                           len(out_shape) - 2, -1):
+                lead *= src_shape[k]
+            if lead == folded:
+                return len(out_shape) - 1, folded
         return None
     if node.op == "squeeze":
         if (src_shape and out_shape and axis == len(src_shape) - 1
                 and out_shape[-1] == src_shape[-1]):
-            return len(out_shape) - 1
+            return len(out_shape) - 1, 1
         return None
     if node.op in ("concatenate", "gather", "scatter", "dynamic_update_slice",
                    "sort", "iota", "argmax", "argmin"):
@@ -450,5 +524,5 @@ def _axis_through(node: TraceNode, src_id: str, axis: int,
     if (src_shape is not None and out_shape is not None
             and len(out_shape) == len(src_shape)
             and out_shape[axis] == src_shape[axis]):
-        return axis
+        return axis, 1
     return None

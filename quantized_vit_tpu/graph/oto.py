@@ -84,9 +84,11 @@ class OTO:
 
             self.kind = "auto"
             self.cfg = getattr(model, "cfg", None)
-            self.node_groups, self.group_edges = discover_node_groups(
-                model, params, example_input, batch_stats=batch_stats,
-                model_kwargs=model_kwargs, return_edges=True)
+            self.node_groups, self.group_edges, self._auto_plan = (
+                discover_node_groups(
+                    model, params, example_input, batch_stats=batch_stats,
+                    model_kwargs=model_kwargs, return_edges=True,
+                    return_plan=True))
         else:
             raise ValueError(
                 f"no node-group builder registered for {type(model).__name__};"
@@ -127,21 +129,39 @@ class OTO:
     # compression (__init__.py:361-398)
     # ------------------------------------------------------------------
 
-    def construct_subnet(self, params=None, batch_stats=None):
+    def construct_subnet(self, params=None, batch_stats=None,
+                         model_builder=None):
         """Slice the group-sparse net into a dense subnet. Returns
         (new_model, new_params) for ViT and
-        (new_model, new_params, new_batch_stats) for UltraNet."""
+        (new_model, new_params, new_batch_stats) for UltraNet.
+
+        For auto-discovered models (kind == 'auto'): the in-dim links come
+        from the discovery dataflow walk (graph/autogroups.py StemPlan —
+        the jaxpr equivalent of the reference's compression-time DFS,
+        pruning_compression.py:134-215). Returns
+        ``(new_params, shapes[, new_batch_stats])`` where ``shapes`` maps
+        each stem layer to its sliced kernel shape; pass ``model_builder``
+        (a callable ``shapes -> module``) to get
+        ``(new_model, new_params[, new_batch_stats])`` like the family
+        paths — flax modules carry static widths, so the architecture
+        object must be re-made rather than surgically narrowed in place.
+        """
         from ..compress import (construct_subnet_resnet,
                                 construct_subnet_ultranet,
                                 construct_subnet_vit)
 
         params = self.params if params is None else params
         if self.kind == "auto":
-            raise NotImplementedError(
-                "automatically discovered groups drive training-time "
-                "pruning (GETA/HESSO) and cost metrics; physical subnet "
-                "slicing needs a family constructor (compress/) because "
-                "in-dim links are family shape decisions")
+            from ..compress.auto import construct_subnet_auto
+
+            stats = batch_stats if batch_stats is not None else self.batch_stats
+            new_params, shapes, new_stats = construct_subnet_auto(
+                params, self.node_groups, self._auto_plan, batch_stats=stats)
+            head = (model_builder(shapes),) if model_builder else ()
+            tail = (new_stats,) if stats is not None else ()
+            if model_builder:
+                return head + (new_params,) + tail
+            return (new_params, shapes) + tail
         if self.kind == "vit":
             new_cfg, new_params = construct_subnet_vit(
                 self.cfg, params, self.node_groups)

@@ -98,8 +98,8 @@ def _layernorm_f32(x, gamma, beta, eps, k_real=None):
 # tools/profile_b32.py), so every coefficient costs ~10us/pass at ViT-B
 # batch-32 fc1 shapes; the polynomial is the shortest the budget allows.
 _ERF_COEFS = (
-    1.0853278493e+00, -2.9069833294e-01, 5.2523799125e-02,
-    -4.8790235085e-03, 1.7809580677e-04,
+    1.0820510812e+00, -2.8632930819e-01, 5.0755384214e-02,
+    -4.6024812456e-03, 1.6343068626e-04,
 )
 
 
@@ -108,15 +108,17 @@ def _erf_f32(x):
 
     Mosaic has no erf primitive; this polynomial keeps the exact-GELU
     semantics of nn.gelu(approximate=False) to well below one int4/int8
-    quantization step. Used by BOTH the Pallas kernel and the XLA mirror so
-    the two paths stay bit-identical.
+    quantization step. The fit is CONSTRAINED to poly(3) == 1 exactly, so
+    the input clamp alone bounds the output to [-1, 1] and no output clamp
+    is needed (two VPU ops saved per element). Used by BOTH the Pallas
+    kernel and the XLA mirror so the two paths stay bit-identical.
     """
     v = jnp.clip(x, -3.0, 3.0)
     v2 = v * v
     acc = jnp.float32(_ERF_COEFS[-1])
     for c in _ERF_COEFS[-2::-1]:
         acc = acc * v2 + jnp.float32(c)
-    return jnp.clip(acc * v, -1.0, 1.0)
+    return acc * v
 
 
 def _gelu_f32(x):
@@ -131,14 +133,15 @@ def _gelu_quant_folded(z, d, top):
     """round(GELU(y)/d) levels from z = y/sqrt(2) in one fused chain.
 
     The wrapper folds 1/sqrt(2) into the dequant scale/bias so the kernel
-    receives z directly; GELU(y)/d = (z * sqrt(2)/(2d)) * (1 + erf(z)).
-    Saves the y-recovery and the quantizer's 1/d multiply — two VPU passes
-    per fc1 call vs gelu-then-quantize.
+    receives z directly; GELU(y)/d = w + w*erf(z) with w = z*sqrt(2)/(2d).
+    Saves the y-recovery and the quantizer's 1/d multiply vs
+    gelu-then-quantize, and the fma form saves the (1 + e) add.
     """
     e = _erf_f32(z)
     c2 = _SQRT2 * 0.5 / d  # scalar
     top_f = top.astype(jnp.float32)
-    lv = jnp.clip(jnp.round((z * c2) * (1.0 + e)), -top_f, top_f)
+    w = z * c2
+    lv = jnp.clip(jnp.round(w + w * e), -top_f, top_f)
     return lv.astype(jnp.int8)
 
 

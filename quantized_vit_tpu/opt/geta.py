@@ -28,7 +28,6 @@ Fidelity notes (differences from the reference, on purpose):
 from __future__ import annotations
 
 import dataclasses
-import math
 from functools import partial
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -91,6 +90,51 @@ class GETAConfig:
                 self.first_momentum = 0.9
             if self.second_momentum == 0.0:
                 self.second_momentum = 0.999
+
+
+def _gamma_d_device(s, t_frac, dur: float, lr: float):
+    """Forget rate γ and new d_quant from group statistics, on device.
+
+    Pure-jnp re-expression of the reference's safeguarded scalar math
+    (geta.py:281-521). The reference's data-dependent safeguard
+
+        while d_q < d_lower: forget *= 0.8; d_q /= 0.8
+
+    finds the smallest k >= 0 with d_q / 0.8^k >= d_lower (capped at 200),
+    which has the closed form k = ceil(log(d_lower/d_q) / log(1.25)) — so
+    the whole computation jits into the optimizer step and the prune phase
+    needs no device->host sync.
+    """
+    eta, zeta, eps = 0.999, 0.9, 1e-8
+    clip_norm = jnp.sqrt(jnp.maximum(s["clip_sq"], 0.0))
+    grad_norm = jnp.sqrt(jnp.maximum(s["grad_sq"], 0.0))
+    res_norm = jnp.sqrt(jnp.maximum(s["res_sq"], 0.0))
+    cos_clip = s["clip_dot"] / (jnp.maximum(clip_norm, eps)
+                                * jnp.maximum(grad_norm, eps))
+    cos_res = s["res_dot"] / (jnp.maximum(res_norm, eps)
+                              * jnp.maximum(grad_norm, eps))
+
+    cc = jnp.clip(cos_clip, -1.0, 1.0)
+    forget_pos = 1.0 - (dur - t_frac - 1.0) / (dur - t_frac)
+    forget_neg = -(1.0 - eta) * lr * grad_norm / (cc * clip_norm)
+    forget = jnp.where(cc >= 0.0, forget_pos, forget_neg)
+    forget = jnp.where(
+        (s["clip_mean"] < 1e-8) | ~jnp.isfinite(cos_clip), 0.0, forget)
+
+    d_upper = s["d_of_min_bit"]   # d(min_bit) — largest step
+    d_lower = s["d_of_max_bit"]   # d(max_bit) — smallest step
+    use_upper = (cos_res >= 0.0) | (forget == 0.0)
+    denom = forget * cos_res * res_norm
+    d_raw = -zeta * eta * lr * grad_norm / jnp.where(
+        denom == 0.0, 1.0, denom)  # guarded; masked out by use_upper anyway
+    k = jnp.ceil(jnp.log(jnp.maximum(d_lower, 1e-38)
+                         / jnp.maximum(d_raw, 1e-38))
+                 / jnp.log(1.25))
+    k = jnp.clip(jnp.where(d_raw < d_lower, k, 0.0), 0.0, 200.0)
+    d_q = jnp.minimum(d_upper, d_raw * 1.25 ** k)
+    forget = jnp.where(use_upper, forget, forget * 0.8 ** k)
+    d_q = jnp.where(use_upper, d_upper, d_q)
+    return forget.astype(jnp.float32), d_q.astype(jnp.float32)
 
 
 def _d_for_bits_scalar(bits: float, q_m, t) -> jax.Array:
@@ -406,61 +450,11 @@ class GETA:
         active = self._masks("active_redundant")
         pruned = self._masks("pruned")
 
+        apply_fn = self._apply_cache[key]
         if prune_ids:
-            reduce_fn, apply_fn = self._apply_cache[key]
-            stats = reduce_fn(params, gv, active, scalars)
-            gammas, ds = self._gamma_d_host(stats, t_frac, prune_ids)
             return apply_fn(params, gv, active, pruned, scalars,
-                            gammas, ds)
-        else:
-            apply_fn = self._apply_cache[key]
-            return apply_fn(params, gv, active, pruned, scalars)
-
-    def _gamma_d_host(self, stats, t_frac: int, prune_ids):
-        """Scalar γ / d_quant math with safeguards (geta.py:380-521).
-
-        stats[gid] = dict of device scalars; pulled to host (one small
-        transfer) because of the data-dependent while-loop safeguard.
-        """
-        cfg = self.cfg
-        eta, zeta, eps = 0.999, 0.9, 1e-8
-        gammas: Dict[str, jnp.ndarray] = {}
-        ds: Dict[str, jnp.ndarray] = {}
-        for gid in prune_ids:
-            s = {k: float(v) for k, v in stats[gid].items()}
-            clip_norm = math.sqrt(max(s["clip_sq"], 0.0))
-            grad_norm = math.sqrt(max(s["grad_sq"], 0.0))
-            res_norm = math.sqrt(max(s["res_sq"], 0.0))
-            cos_clip = s["clip_dot"] / (max(clip_norm, eps) * max(grad_norm, eps))
-            cos_res = s["res_dot"] / (max(res_norm, eps) * max(grad_norm, eps))
-
-            dur = self.pruning_period_duration
-            if s["clip_mean"] < 1e-8 or not math.isfinite(cos_clip):
-                forget = 0.0
-            else:
-                cc = min(max(cos_clip, -1.0), 1.0)
-                if cc >= 0.0:
-                    forget = 1.0 - (dur - t_frac - 1.0) / (dur - t_frac)
-                else:
-                    forget = -(1 - eta) * cfg.lr * grad_norm / (cc * clip_norm)
-
-            d_upper = s["d_of_min_bit"]   # d(min_bit) — largest step
-            d_lower = s["d_of_max_bit"]   # d(max_bit) — smallest step
-            if cos_res >= 0.0 or forget == 0.0:
-                d_q = d_upper
-            else:
-                d_q = (-zeta * eta * cfg.lr * grad_norm
-                       / (forget * cos_res * res_norm))
-                guard = 0
-                while d_q < d_lower and guard < 200:
-                    forget *= 0.8
-                    d_q /= 0.8
-                    guard += 1
-                d_q = min(d_upper, d_q)
-            self.gamma, self.d_quant = forget, d_q
-            gammas[gid] = jnp.float32(forget)
-            ds[gid] = jnp.float32(d_q)
-        return gammas, ds
+                            jnp.float32(t_frac))
+        return apply_fn(params, gv, active, pruned, scalars)
 
     # ------------------------------------------------------------------
     # jitted bodies
@@ -582,8 +576,7 @@ class GETA:
         prune_layers = {gid: [lp for lp in self.group_layers[gid]]
                         for gid in prune_ids}
 
-        @jax.jit
-        def reduce_fn(params, gv, active, sc):
+        def compute_stats(params, gv, active, sc):
             stats = {}
             for gid in prune_ids:
                 g = group_by_id[gid]
@@ -652,8 +645,21 @@ class GETA:
                 )
             return stats
 
+        dur = float(self.pruning_period_duration)
+
         @jax.jit
-        def apply_fn(params, gv, active, pruned, sc, gammas, ds):
+        def apply_fn(params, gv, active, pruned, sc, t_frac):
+            # γ / d_quant from per-group reductions, fully on device — the
+            # reference (and round-1 build) pulled these scalars to the host
+            # every prune step for a data-dependent safeguard while-loop;
+            # the loop has the closed form below, so the prune-phase step
+            # now contains no blocking host transfer (geta.py:281-521).
+            stats = compute_stats(params, gv, active, sc)
+            gammas = {}
+            ds = {}
+            for gid in prune_ids:
+                gammas[gid], ds[gid] = _gamma_d_device(
+                    stats[gid], t_frac, dur, cfg.lr)
             lr, lr_quant = sc["lr"], sc["lr_quant"]
             # 1. Quant-scalar GD for prune groups: *_act trio + t/q_m_wt
             #    (geta.py:944-961); act range clamp applies to everyone
@@ -720,7 +726,7 @@ class GETA:
                                      sc["max_bit_act"], skip_wt=skip_wt)
             return zero_pruned(params, pruned)
 
-        return reduce_fn, apply_fn
+        return apply_fn
 
     # ------------------------------------------------------------------
     # metrics / introspection

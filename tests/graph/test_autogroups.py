@@ -233,8 +233,31 @@ def test_oto_facade_auto_discovery_on_custom_model():
                  for g in oto.node_groups if g.is_prunable)
     assert zeroed > 0
 
-    with pytest.raises(NotImplementedError):
-        oto.construct_subnet(p)
+    # generic physical compression: sliced params + width report, and the
+    # compressed forward equals the zeroed-full forward
+    new_params, shapes = oto.construct_subnet(p)
+    d1_w = shapes["d1"][-1]
+    conv_w = shapes["c2"][-1]
+
+    class Rebuilt(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Conv(conv_w, (3, 3), name="c1")(x)
+            x = nn.relu(x)
+            skip = x
+            x = nn.Conv(conv_w, (3, 3), name="c2")(x)
+            x = nn.relu(x + skip)
+            x = jnp.mean(x, axis=(1, 2))
+            x = nn.Dense(d1_w, name="d1")(x)
+            x = nn.tanh(x)
+            return nn.Dense(4, name="out")(x)
+
+    xr = jnp.array(np.random.default_rng(3).standard_normal((2, 16, 16, 3)),
+                   jnp.float32)
+    y_sparse = m.apply({"params": p}, xr)
+    y_slim = Rebuilt().apply({"params": new_params}, xr)
+    np.testing.assert_allclose(np.asarray(y_slim), np.asarray(y_sparse),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_auto_discovery_records_dataflow_edges():
