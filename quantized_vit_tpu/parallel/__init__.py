@@ -1,6 +1,13 @@
 """Mesh construction, GSPMD partition rules (DP x TP), pipeline (PP),
 multi-host init and collective health checks."""
 
+from .audit import (
+    CollectiveOp,
+    collective_stats,
+    parse_collectives,
+    predict_scaling,
+    summarize,
+)
 from .collectives import (
     dp_all_reduce_grads,
     quantized_ring_all_reduce,
@@ -34,6 +41,11 @@ from .pipeline import (
 )
 
 __all__ = [
+    "CollectiveOp",
+    "collective_stats",
+    "parse_collectives",
+    "predict_scaling",
+    "summarize",
     "dp_all_reduce_grads",
     "quantized_ring_all_reduce",
     "HealthCheckError",

@@ -51,6 +51,56 @@ VIT_PARTITION_RULES: List[Tuple[str, P]] = [
 ]
 
 
+def shard_vit_artifact(art, mesh: Mesh):
+    """Device_put an IN-MEMORY INT4 serving artifact with the same TP rules
+    the artifact loader applies (artifact/vit.py:44-73): qkv/fc1
+    column-sharded (w P(None,'model'), scale/bias vectors P('model')),
+    proj/fc2 row-sharded (w P('model',None)), everything else replicated.
+    """
+    import dataclasses as _dc
+
+    def put(a, spec):
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    def qput(e, kind: str):
+        w_spec = {"col": P(None, "model"), "row": P("model", None),
+                  "rep": P()}[kind]
+        def vec_spec(a):
+            return (P("model") if kind == "col"
+                    and getattr(a, "ndim", 0) == 1 else P())
+        return _dc.replace(
+            e,
+            w=put(e.w, w_spec),
+            scale=put(e.scale, vec_spec(e.scale)),
+            bias=None if e.bias is None else put(e.bias, vec_spec(e.bias)),
+            act={k: put(v, P()) for k, v in e.act.items()},
+        )
+
+    rep = lambda tree: jax.tree.map(lambda a: put(a, P()), tree)
+    out = {
+        "patch_embed": qput(art["patch_embed"], "rep"),
+        "cls_token": put(art["cls_token"], P()),
+        "pos_embed": put(art["pos_embed"], P()),
+        "norm": rep(art["norm"]),
+        "blocks": [
+            {
+                "norm1": rep(b["norm1"]),
+                "qkv": qput(b["qkv"], "col"),
+                "proj": qput(b["proj"], "row"),
+                "norm2": rep(b["norm2"]),
+                "fc1": qput(b["fc1"], "col"),
+                "fc2": qput(b["fc2"], "row"),
+            }
+            for b in art["blocks"]
+        ],
+    }
+    if "pre_logits" in art:
+        out["pre_logits"] = rep(art["pre_logits"])
+    if "head" in art:
+        out["head"] = qput(art["head"], "rep")
+    return out
+
+
 def spec_for_path(path: str, rules=VIT_PARTITION_RULES) -> P:
     for pattern, spec in rules:
         if re.search(pattern, path):

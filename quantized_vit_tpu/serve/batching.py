@@ -12,10 +12,18 @@ design points:
   (full MXU tile) or the oldest request has waited ``max_delay_ms``
   (latency bound). One dispatcher thread owns the device; requests resolve
   through per-request futures.
+- **Host/device overlap.** JAX dispatch is asynchronous: ``forward_fn``
+  returns a future-backed Array immediately and only ``np.asarray`` blocks.
+  The dispatcher therefore only collects, assembles, and DISPATCHES each
+  batch, handing the un-materialized result to a separate completion
+  thread — host assembly of batch N+1 overlaps device execution of batch
+  N. ``max_in_flight`` bounds the dispatch queue (backpressure) so device
+  memory holds a fixed number of outstanding batches.
 - **Sharded serving.** The forward closure may capture GSPMD-sharded
   weights (artifact.vit.load_vit_int4_artifact with a mesh); the batch
   enters replicated (or data-sharded by the caller's in_sharding) and XLA
-  inserts the collectives.
+  inserts the collectives. For multi-HOST serving see
+  :class:`MultiHostFrontend`.
 """
 
 from __future__ import annotations
@@ -44,7 +52,8 @@ class ContinuousBatcher:
 
     def __init__(self, forward_fn: Callable, max_batch: int = 8,
                  max_delay_ms: float = 2.0,
-                 buckets: Optional[Sequence[int]] = None):
+                 buckets: Optional[Sequence[int]] = None,
+                 max_in_flight: int = 2):
         self.forward_fn = forward_fn
         self.max_batch = int(max_batch)
         self.max_delay_s = max_delay_ms / 1e3
@@ -52,8 +61,12 @@ class ContinuousBatcher:
         if self.buckets[-1] < self.max_batch:
             self.buckets.append(self.max_batch)
         self._q: "queue.Queue" = queue.Queue()
+        # (device_result, pending) pairs awaiting materialization; bounded
+        # so at most max_in_flight batches are outstanding on the device
+        self._done_q: "queue.Queue" = queue.Queue(maxsize=max(1, max_in_flight))
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        self._completer: Optional[threading.Thread] = None
         self.stats = {"requests": 0, "batches": 0, "padded": 0,
                       "batch_hist": {}}
 
@@ -64,7 +77,10 @@ class ContinuousBatcher:
             return self
         self._stop.clear()
         self._thread = threading.Thread(target=self._run, daemon=True)
+        self._completer = threading.Thread(target=self._complete_loop,
+                                           daemon=True)
         self._thread.start()
+        self._completer.start()
         return self
 
     def stop(self):
@@ -72,6 +88,10 @@ class ContinuousBatcher:
         if self._thread is not None:
             self._thread.join(timeout=10)
             self._thread = None
+        if self._completer is not None:
+            self._done_q.put(None)  # sentinel after dispatcher exit
+            self._completer.join(timeout=10)
+            self._completer = None
         # reject anything that raced past the dispatcher's exit — a Future
         # left on a dead queue would block its caller forever
         while True:
@@ -141,6 +161,9 @@ class ContinuousBatcher:
         return pending
 
     def _run(self):
+        """Dispatcher: collect -> assemble -> dispatch (async), never blocks
+        on device results — batch N+1's host work overlaps batch N's
+        device execution."""
         while not self._stop.is_set() or not self._q.empty():
             pending = self._collect()
             if not pending:
@@ -153,13 +176,79 @@ class ContinuousBatcher:
                 images = np.concatenate([images, pad], axis=0)
                 self.stats["padded"] += bucket - n
             try:
-                out = np.asarray(self.forward_fn(images))
-                for i, (_, fut, _) in enumerate(pending):
-                    fut.set_result(out[i])
-            except Exception as e:  # resolve futures so callers don't hang
+                out = self.forward_fn(images)  # async dispatch
+            except Exception as e:  # dispatch-time failure (shape, compile)
                 for _, fut, _ in pending:
                     if not fut.done():
                         fut.set_exception(e)
+                continue
+            self._done_q.put((out, pending))  # blocks at max_in_flight
             self.stats["batches"] += 1
             self.stats["batch_hist"][bucket] = (
                 self.stats["batch_hist"].get(bucket, 0) + 1)
+
+    def _complete_loop(self):
+        """Completer: materialize device results and resolve futures."""
+        while True:
+            item = self._done_q.get()
+            if item is None:
+                return
+            out, pending = item
+            try:
+                arr = np.asarray(out)  # blocks until the device finishes
+                for i, (_, fut, _) in enumerate(pending):
+                    fut.set_result(arr[i])
+            except Exception as e:  # device-side failure surfaces here
+                for _, fut, _ in pending:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+
+class MultiHostFrontend:
+    """Request fan-out across multiple serving backends (hosts/chips).
+
+    Data-parallel serving scales by sharding REQUESTS, not tensors: each
+    backend owns its replica of the weights and its own
+    :class:`ContinuousBatcher`; no inter-backend collective exists (see
+    docs/SCALING.md §1). This front-end routes each request to the
+    least-loaded backend (by queued request count), falling back to round
+    robin on ties — the same policy a real deployment runs in its RPC
+    router, with ``backends`` being per-host client stubs instead of
+    in-process batchers.
+    """
+
+    def __init__(self, backends: Sequence["ContinuousBatcher"]):
+        if not backends:
+            raise ValueError("need at least one backend")
+        self.backends = list(backends)
+        self._rr = 0
+        self._lock = threading.Lock()
+
+    def start(self):
+        for b in self.backends:
+            b.start()
+        return self
+
+    def stop(self):
+        for b in self.backends:
+            b.stop()
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    def submit(self, image: np.ndarray) -> Future:
+        with self._lock:
+            loads = [b._q.qsize() for b in self.backends]
+            lo = min(loads)
+            # least-loaded; round-robin among equally loaded backends
+            candidates = [i for i, v in enumerate(loads) if v == lo]
+            pick = candidates[self._rr % len(candidates)]
+            self._rr += 1
+        return self.backends[pick].submit(image)
+
+    @property
+    def stats(self):
+        return {i: b.stats for i, b in enumerate(self.backends)}

@@ -154,3 +154,71 @@ def test_stop_rejects_pending_and_late_submits():
     f2 = b.submit(x)
     with pytest.raises(RuntimeError, match="stopped"):
         f2.result(timeout=5)
+
+
+class _FakeAsyncDevice:
+    """Models JAX async dispatch: the forward call costs ``host_cost``
+    (synchronous trace/assembly share), returns immediately, and the result
+    materializes ``device_latency`` later when np.asarray blocks on it."""
+
+    def __init__(self, host_cost=0.01, device_latency=0.01):
+        self.host_cost = host_cost
+        self.device_latency = device_latency
+        self._lock = threading.Lock()
+        self._free_at = 0.0
+
+    def __call__(self, images):
+        time.sleep(self.host_cost)
+        with self._lock:  # device executes batches in order
+            start = max(time.monotonic(), self._free_at)
+            self._free_at = start + self.device_latency
+            ready_at = self._free_at
+        out = images.sum(axis=tuple(range(1, images.ndim)))
+
+        class Lazy:
+            def __array__(self, dtype=None):
+                now = time.monotonic()
+                if ready_at > now:
+                    time.sleep(ready_at - now)
+                return np.asarray(out, dtype=dtype)
+
+        return Lazy()
+
+
+def test_dispatch_overlaps_device_execution():
+    """Host assembly of batch N+1 overlaps device execution of batch N:
+    with host_cost == device_latency the pipelined batcher must beat the
+    serial (host+device) sum by well over 1.5x."""
+    n_batches = 12
+    host, dev = 0.010, 0.010
+    fake = _FakeAsyncDevice(host, dev)
+    b = ContinuousBatcher(fake, max_batch=4, max_delay_ms=1.0)
+    imgs = [np.full((2, 2), float(i)) for i in range(4 * n_batches)]
+    with b:
+        t0 = time.monotonic()
+        futs = [b.submit(im) for im in imgs]
+        res = [f.result(timeout=30) for f in futs]
+        dt = time.monotonic() - t0
+    serial = n_batches * (host + dev)
+    assert dt < serial / 1.5, f"no overlap: {dt:.3f}s vs serial {serial:.3f}s"
+    np.testing.assert_allclose(res, [im.sum() for im in imgs])
+
+
+def test_multihost_frontend_balances_and_resolves():
+    from quantized_vit_tpu.serve import MultiHostFrontend
+
+    backends = [
+        ContinuousBatcher(lambda x: x * (i + 1), max_batch=2,
+                          max_delay_ms=1.0)
+        for i in range(3)
+    ]
+    front = MultiHostFrontend(backends)
+    with front:
+        futs = [front.submit(np.full((2,), float(k))) for k in range(30)]
+        res = [f.result(timeout=10) for f in futs]
+    # every request resolved with ITS row times its backend's factor
+    for k, r in enumerate(res):
+        assert r[0] / k in (1.0, 2.0, 3.0) if k else True
+    served = [b.stats["requests"] for b in backends]
+    assert sum(served) == 30
+    assert all(s > 0 for s in served), f"unbalanced routing: {served}"
