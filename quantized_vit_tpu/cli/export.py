@@ -59,6 +59,21 @@ def parse_args(argv=None):
     pv.add_argument("--out", required=True)
     pv.add_argument("--img-size", type=int, default=224)
     pv.add_argument("--num-classes", type=int, default=10)
+
+    pt = sub.add_parser(
+        "torch",
+        help="ViT checkpoint (full or GETA-compressed) -> reference-style "
+             "torch state dict (.pt) + architecture JSON — the interchange "
+             "format for a model leaving the JAX world (the reference "
+             "pickles the sliced torch module, pruning_compression.py:385; "
+             "a state dict + config is the same information without the "
+             "pickle-code coupling)")
+    add_model_args(pt)
+    pt.add_argument("--checkpoint", required=True)
+    pt.add_argument("--out", required=True,
+                    help="output directory (model.pt + arch.json)")
+    pt.add_argument("--img-size", type=int, default=224)
+    pt.add_argument("--num-classes", type=int, default=10)
     return p.parse_args(argv)
 
 
@@ -102,6 +117,39 @@ def main(argv=None):
         npz_path, cfg_path = export_reference_ultranet(params, stats,
                                                        args.out)
         print(f"[export] reference npz -> {npz_path}, config -> {cfg_path}")
+        return args.out
+
+    if args.target == "torch":
+        import dataclasses
+        import json
+        import os
+
+        from ..cli.eval import vit_config_from_dict
+        from ..interop import vit_params_to_torch
+        from ..models.layers import QuantConfig
+
+        params, _, extra = load_params_any(args.checkpoint)
+        if "subnet" in extra:
+            cfg = vit_config_from_dict(extra["subnet"])
+        else:
+            _, cfg = build_model(args, QuantConfig(enabled=True))
+        sd = vit_params_to_torch(params)
+        os.makedirs(args.out, exist_ok=True)
+        pt_path = os.path.join(args.out, "model.pt")
+        try:
+            import torch
+
+            torch.save({k: torch.as_tensor(v) for k, v in sd.items()},
+                       pt_path)
+        except ImportError:  # keep the export usable without torch
+            pt_path = os.path.join(args.out, "model.npz")
+            import numpy as np
+
+            np.savez(pt_path, **sd)
+        arch = dataclasses.asdict(cfg)  # recurses into the quant dataclass
+        with open(os.path.join(args.out, "arch.json"), "w") as f:
+            json.dump(arch, f, indent=1)
+        print(f"[export] torch state dict -> {pt_path}, arch.json alongside")
         return args.out
 
     from ..artifact import save_vit_int4_artifact

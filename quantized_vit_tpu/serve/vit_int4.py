@@ -56,8 +56,16 @@ from ..quant.lsfq import lsfq_levels, lsfq_top_level, _safe_pow, _EPS
 from ..quant.packing import pack_int4
 
 
-def _export_layer(layer_params: Dict[str, Any]):
-    """One QuantDense/QuantConv -> serving artifact entry."""
+def _export_layer(layer_params: Dict[str, Any], pack_weights: bool = True):
+    """One QuantDense/QuantConv -> serving artifact entry.
+
+    ``pack_weights``: store 4-bit levels nibble-packed ([K/2, N], halves
+    weight HBM) vs unpacked int8 ([K, N]). Unpacked is the throughput
+    default: the in-kernel nibble unpack costs ~8-15us/layer of VPU time
+    per call where the extra HBM read costs ~1.4us at ViT-B stripe sizes
+    (measured, tools/time_kernels.py); packed wins only when weight
+    bandwidth dominates (batch-1 latency serving).
+    """
     kernel = layer_params["kernel"]
     if kernel.ndim == 4:  # conv HWIO -> [H*W*I, O] gemm form
         h, w, i, o = kernel.shape
@@ -100,7 +108,7 @@ def _export_layer(layer_params: Dict[str, Any]):
            "top": jnp.minimum(top_a, 127)}
     act_pow = bool(abs(float(t_a[0]) - 1.0) > 1e-6)
     k = w_lv.shape[0]
-    if top_w <= 7 and k % 2 == 0:
+    if pack_weights and top_w <= 7 and k % 2 == 0:
         return QLayerArtifact(
             w=pack_int4(jnp.clip(w_lv, -8, 7).astype(jnp.int8), axis=0),
             scale=(d_w * d_a)[0], bias=layer_params.get("bias"),
@@ -113,14 +121,18 @@ def _export_layer(layer_params: Dict[str, Any]):
     )
 
 
-def export_vit_int4(cfg: ViTConfig, params: Dict[str, Any]) -> Dict[str, Any]:
+def export_vit_int4(cfg: ViTConfig, params: Dict[str, Any],
+                    pack_weights: bool = True) -> Dict[str, Any]:
     """Trained fake-quant ViT params -> integer serving artifact pytree.
 
     ``fmt`` per layer is a static string ('int4'/'int8'); everything else is
     arrays, so the artifact passes straight through jit as a pytree.
+    ``pack_weights=False`` stores 4-bit levels unpacked int8 — the
+    single-chip throughput configuration (see :func:`_export_layer`).
     """
     art: Dict[str, Any] = {}
-    art["patch_embed"] = _export_layer(params["patch_embed"]["proj"])
+    art["patch_embed"] = _export_layer(params["patch_embed"]["proj"],
+                                       pack_weights)
     art["cls_token"] = params["cls_token"]
     art["pos_embed"] = params["pos_embed"]
     art["blocks"] = []
@@ -128,17 +140,17 @@ def export_vit_int4(cfg: ViTConfig, params: Dict[str, Any]) -> Dict[str, Any]:
         b = params[f"blocks_{i}"]
         art["blocks"].append({
             "norm1": b["norm1"],
-            "qkv": _export_layer(b["attn"]["qkv"]),
-            "proj": _export_layer(b["attn"]["proj"]),
+            "qkv": _export_layer(b["attn"]["qkv"], pack_weights),
+            "proj": _export_layer(b["attn"]["proj"], pack_weights),
             "norm2": b["norm2"],
-            "fc1": _export_layer(b["mlp"]["fc1"]),
-            "fc2": _export_layer(b["mlp"]["fc2"]),
+            "fc1": _export_layer(b["mlp"]["fc1"], pack_weights),
+            "fc2": _export_layer(b["mlp"]["fc2"], pack_weights),
         })
     art["norm"] = params["norm"]
     if cfg.representation_size is not None:
         art["pre_logits"] = {k: v for k, v in params["pre_logits"].items()}
     if cfg.num_classes > 0:
-        art["head"] = _export_layer(params["head"])
+        art["head"] = _export_layer(params["head"], pack_weights)
     return art
 
 
@@ -294,7 +306,8 @@ def vit_int4_forward(art, images, cfg: ViTConfig, use_pallas: bool = True,
     return x
 
 
-def random_vit_int4_artifact(cfg: ViTConfig, seed: int = 0):
+def random_vit_int4_artifact(cfg: ViTConfig, seed: int = 0,
+                             pack_weights: bool = True):
     """Random serving artifact with realistic scales (bench/compile-check
     helper — avoids the slow on-device flax init of an 86M-param model)."""
     import numpy as np
@@ -306,13 +319,14 @@ def random_vit_int4_artifact(cfg: ViTConfig, seed: int = 0):
     def qlayer(k, n, with_bias=True):
         w = rng.integers(-7, 8, (k, n)).astype(np.int8)
         return QLayerArtifact(
-            w=pack_int4(jnp.array(w), axis=0),
+            w=pack_int4(jnp.array(w), axis=0) if pack_weights
+            else jnp.array(w),
             scale=jnp.float32(1e-3),
             bias=jnp.array(rng.standard_normal(n).astype(np.float32) * 1e-2)
             if with_bias else None,
             act={"d": jnp.float32(0.05), "q_m": jnp.float32(0.35),
                  "t": jnp.float32(1.0), "top": jnp.int32(7)},
-            fmt="int4", act_pow=False,
+            fmt="int4" if pack_weights else "int8", act_pow=False,
         )
 
     def ln(n):
