@@ -12,7 +12,10 @@ Timing method (see .claude/skills/verify/SKILL.md): this environment's TPU
 tunnel has a ~26ms RPC floor per dispatch and block_until_ready does not
 truly block, so each measurement chains ITERS forwards inside ONE jit with a
 data dependency and forces completion via a host scalar read; the RPC floor
-is measured with an empty jit and subtracted.
+is measured with an empty jit and subtracted. The iteration dependency is an
+O(1) dynamic_update_slice poke of one input element (a full-array
+``imgs + 0`` carry add costs ~47us/iter of HBM traffic at batch 32 and
+inflates every variant equally).
 """
 
 import json
@@ -104,7 +107,10 @@ def main():
         _kernel_parity_check()
 
     cfg = ViTConfig(num_classes=1000)
-    art = random_vit_int4_artifact(cfg, seed=0)
+    # unpacked-int8 weight storage (values are still int4 levels): kills the
+    # in-kernel nibble unpack, fc1 -12us/block measured; the packed-int4
+    # format stays available for bandwidth-bound (batch-1) serving
+    art = random_vit_int4_artifact(cfg, seed=0, pack_weights=False)
     images = jnp.array(
         np.random.default_rng(0).standard_normal((BATCH, 224, 224, 3)),
         jnp.float32,
@@ -116,13 +122,17 @@ def main():
 
     floor = _timeit(empty, jnp.ones((8,), jnp.float32))
 
+    def _poke(imgs, s):
+        upd = (s - s + jnp.ones((), jnp.float32)).astype(imgs.dtype)
+        return jax.lax.dynamic_update_slice(
+            imgs, upd.reshape(1, 1, 1, 1), (0, 0, 0, 0))
+
     @jax.jit
     def int4_chain(images):
         def body(i, carry):
             imgs, acc = carry
             logits = vit_int4_forward(art, imgs, cfg, float_dtype=jnp.bfloat16)
-            fb = (logits[0, 0] - logits[0, 0]).astype(imgs.dtype)
-            return (imgs + fb, acc + logits[0, 0])
+            return (_poke(imgs, logits[0, 0]), acc + logits[0, 0])
         _, acc = jax.lax.fori_loop(0, ITERS, body, (images, jnp.float32(0)))
         return acc
 
@@ -138,8 +148,7 @@ def main():
             logits = vit_int4_forward(art, imgs, cfg,
                                       float_dtype=jnp.bfloat16,
                                       int_attention=True)
-            fb = (logits[0, 0] - logits[0, 0]).astype(imgs.dtype)
-            return (imgs + fb, acc + logits[0, 0])
+            return (_poke(imgs, logits[0, 0]), acc + logits[0, 0])
         _, acc = jax.lax.fori_loop(0, ITERS, body, (images, jnp.float32(0)))
         return acc
 
@@ -167,8 +176,8 @@ def main():
         def body(i, carry):
             imgs, acc = carry
             logits = model.apply({"params": params}, imgs)
-            fb = (logits[0, 0] - logits[0, 0]).astype(imgs.dtype)
-            return (imgs + fb, acc + logits[0, 0].astype(jnp.float32))
+            return (_poke(imgs, logits[0, 0].astype(jnp.float32)),
+                    acc + logits[0, 0].astype(jnp.float32))
         _, acc = jax.lax.fori_loop(0, ITERS, body, (images, jnp.float32(0)))
         return acc
 

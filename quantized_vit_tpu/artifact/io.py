@@ -33,6 +33,7 @@ def _encode(node, arrays: Dict[str, np.ndarray], path: str):
             "__qlayer__": {
                 "fmt": node.fmt,
                 "act_pow": bool(node.act_pow),
+                "top": int(node.top),
                 "w": _encode(node.w, arrays, f"{path}.w"),
                 "scale": _encode(node.scale, arrays, f"{path}.scale"),
                 "bias": _encode(node.bias, arrays, f"{path}.bias"),
@@ -73,12 +74,19 @@ def _decode(enc, arrays, dataclass_registry: Dict[str, type],
         return None
     if "__qlayer__" in enc:
         q = enc["__qlayer__"]
+        act = _decode(q["act"], arrays, dataclass_registry, put)
+        # format v1 artifacts carried top inside the act dict (as an array);
+        # it is static pytree metadata now
+        top = q.get("top")
+        if top is None:
+            top = int(np.asarray(act.pop("top")))
+        else:
+            act.pop("top", None)
         return QLayerArtifact(
             w=_decode(q["w"], arrays, dataclass_registry, put),
             scale=_decode(q["scale"], arrays, dataclass_registry, put),
             bias=_decode(q["bias"], arrays, dataclass_registry, put),
-            act=_decode(q["act"], arrays, dataclass_registry, put),
-            fmt=q["fmt"], act_pow=q["act_pow"],
+            act=act, fmt=q["fmt"], act_pow=q["act_pow"], top=int(top),
         )
     if "__dataclass__" in enc:
         cls = dataclass_registry[enc["__dataclass__"]]

@@ -32,9 +32,9 @@ from .fused import _quantize_f32
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, *rest, sm_scale: float, n_valid: int,
-                 quantize: bool, out_pow: bool):
+                 quantize: bool, out_pow: bool, out_top: int = 0):
     if quantize:
-        d_ref, t_ref, top_ref, o_ref = rest
+        d_ref, t_ref, o_ref = rest
     else:
         (o_ref,) = rest
     q = q_ref[0, 0]
@@ -56,18 +56,27 @@ def _attn_kernel(q_ref, k_ref, v_ref, *rest, sm_scale: float, n_valid: int,
         preferred_element_type=jnp.float32,
     )
     if quantize:
-        o_ref[0, 0] = _quantize_f32(o, d_ref[0], t_ref[0], top_ref[0],
+        o_ref[0, 0] = _quantize_f32(o, d_ref[0], t_ref[0], out_top,
                                     out_pow)
     else:
         o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
+def flash_attention(*args, **kw):
+    """Public entry: ``out_top`` must be a compile-time int (clip bounds
+    must be immediates in Mosaic — ops/fused.py:_fused_kernel note)."""
+    v = kw.get("out_top")
+    if v is not None and not isinstance(v, int):
+        kw["out_top"] = int(v)
+    return _flash_attention(*args, **kw)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "n_valid", "out_pow", "out_dtype",
-                     "interpret"),
+    static_argnames=("sm_scale", "n_valid", "out_top", "out_pow",
+                     "out_dtype", "interpret"),
 )
-def flash_attention(
+def _flash_attention(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
@@ -98,14 +107,14 @@ def flash_attention(
     operands = [q, k, v]
     if quantize:
         smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
-        in_specs += [smem(), smem(), smem()]
+        in_specs += [smem(), smem()]
         operands += [jnp.asarray(out_d, jnp.float32).reshape(1),
-                     jnp.asarray(out_t, jnp.float32).reshape(1),
-                     jnp.asarray(out_top, jnp.int32).reshape(1)]
+                     jnp.asarray(out_t, jnp.float32).reshape(1)]
 
     return pl.pallas_call(
         functools.partial(_attn_kernel, sm_scale=sm_scale, n_valid=n_valid,
-                          quantize=quantize, out_pow=out_pow),
+                          quantize=quantize, out_pow=out_pow,
+                          out_top=out_top or 0),
         grid=(b, h),
         in_specs=in_specs,
         out_specs=spec,
@@ -185,16 +194,17 @@ def _softmax_av(s2, v, col, n_valid, int_attention):
         # p must be normalized to [0, 1] for the fixed 1/127 scale
         p = jnp.exp2(s2 - jnp.max(s2, axis=-1, keepdims=True))
     else:
-        # Absolute exp2 with a fixed [-100, 100] clamp instead of the
-        # row-max subtraction: softmax is shift-invariant, so skipping the
-        # subtraction is exact whenever |s2| < 100 — guaranteed for
+        # Absolute exp2 with a fixed UPPER clamp instead of the row-max
+        # subtraction: softmax is shift-invariant, so skipping the
+        # subtraction is exact whenever s2 < 100 — guaranteed for
         # LayerNorm-bounded ViT scores (|s2| = |q.k| * sm_scale * log2e,
         # observed < 50) — and saves a reduce+subtract over the [n, n]
         # score matrix. At the clamp boundary: 2^100 * n_keys * |v|max
-        # stays ~1e34 << f32 max (no overflow), 2^-100 > 0 (p_sum never
-        # 0 -> no NaN); rows entirely outside the range degrade smoothly
-        # toward uniform attention instead of overflowing.
-        p = jnp.exp2(jnp.clip(s2, -100.0, 100.0))
+        # stays ~1e34 << f32 max (no overflow). No LOWER clamp (min is one
+        # VPU op where clip is two — ~12us/block at batch 32): exp2
+        # underflows to exactly 0, and the epsilon added to p_sum below
+        # keeps an all-underflow row at lv=0 instead of 0/0 NaN.
+        p = jnp.exp2(jnp.minimum(s2, 100.0))
     if int_attention:
         # unnormalized p in [0, 1]: fixed scale 1/127; v dynamically scaled
         p_lv = jnp.round(p * 127.0).astype(jnp.int8)
@@ -210,13 +220,15 @@ def _softmax_av(s2, v, col, n_valid, int_attention):
             pb, v, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        p_sum = jnp.sum(p, axis=-1, keepdims=True)
+        # epsilon: a row whose scores ALL underflowed exp2 (possible only
+        # without a lower clamp) divides by ~1e-30 instead of 0 -> lv 0
+        p_sum = jnp.sum(p, axis=-1, keepdims=True) + 1e-30
     return o_un, p_sum
 
 
 def _attn_qkv_kernel(x_ref, *rest, heads: int, head_dim: int,
                      sm_scale: float, n_valid: int, quantize: bool,
-                     out_pow: bool, int_attention: bool):
+                     out_pow: bool, int_attention: bool, out_top: int = 0):
     """Per-batch program over the RAW fused-qkv matmul output layout
     [N, (3, H, hd)] — head slices are static lane slices, so no HBM
     transpose of the [M, 3D] qkv tensor is ever materialized.
@@ -225,7 +237,7 @@ def _attn_qkv_kernel(x_ref, *rest, heads: int, head_dim: int,
     issued before head h's softmax (VPU) so the scheduler can overlap the
     two units — the softmax is the serial bottleneck otherwise."""
     if quantize:
-        d_ref, t_ref, top_ref, o_ref = rest
+        d_ref, t_ref, o_ref = rest
     else:
         (o_ref,) = rest
     x = x_ref[0]
@@ -255,23 +267,31 @@ def _attn_qkv_kernel(x_ref, *rest, heads: int, head_dim: int,
             # fold the quantizer's 1/d into the deferred normalization: one
             # [n, 1] multiply instead of an [n, hd] pass
             lv = jnp.clip(jnp.round(o_un * (1.0 / (p_sum * d_ref[0]))),
-                          -top_ref[0].astype(jnp.float32),
-                          top_ref[0].astype(jnp.float32))
+                          -float(out_top), float(out_top))
             o_ref[0, :, h * head_dim:(h + 1) * head_dim] = lv.astype(jnp.int8)
         elif quantize:
             o_ref[0, :, h * head_dim:(h + 1) * head_dim] = _quantize_f32(
-                o_un / p_sum, d_ref[0], t_ref[0], top_ref[0], out_pow)
+                o_un / p_sum, d_ref[0], t_ref[0], out_top, out_pow)
         else:
             o_ref[0, :, h * head_dim:(h + 1) * head_dim] = (
                 o_un / p_sum).astype(o_ref.dtype)
 
 
+def attention_qkv(*args, **kw):
+    """Public entry: ``out_top`` must be a compile-time int (clip bounds
+    must be immediates in Mosaic — ops/fused.py:_fused_kernel note)."""
+    v = kw.get("out_top")
+    if v is not None and not isinstance(v, int):
+        kw["out_top"] = int(v)
+    return _attention_qkv(*args, **kw)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("heads", "sm_scale", "n_valid", "out_pow", "out_dtype",
-                     "int_attention", "interpret"),
+    static_argnames=("heads", "sm_scale", "n_valid", "out_top", "out_pow",
+                     "out_dtype", "int_attention", "interpret"),
 )
-def attention_qkv(
+def _attention_qkv(
     qkv: jax.Array,
     *,
     heads: int,
@@ -306,16 +326,16 @@ def attention_qkv(
     operands = [qkv]
     if quantize:
         smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
-        in_specs += [smem(), smem(), smem()]
+        in_specs += [smem(), smem()]
         operands += [jnp.asarray(out_d, jnp.float32).reshape(1),
-                     jnp.asarray(out_t, jnp.float32).reshape(1),
-                     jnp.asarray(out_top, jnp.int32).reshape(1)]
+                     jnp.asarray(out_t, jnp.float32).reshape(1)]
 
     return pl.pallas_call(
         functools.partial(
             _attn_qkv_kernel, heads=heads, head_dim=head_dim,
             sm_scale=sm_scale, n_valid=n_valid, quantize=quantize,
-            out_pow=out_pow, int_attention=int_attention),
+            out_pow=out_pow, int_attention=int_attention,
+            out_top=out_top or 0),
         grid=(b,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, n, heads * head_dim), lambda i: (i, 0, 0),
@@ -369,8 +389,8 @@ def attention_qkv_xla(qkv, *, heads, sm_scale, n_valid=None,
     if int_attention:
         p = jnp.exp2(s2 - jnp.max(s2, axis=-1, keepdims=True))
     else:
-        # absolute exp2 with fixed clamp — see _softmax_av
-        p = jnp.exp2(jnp.clip(s2, -100.0, 100.0))
+        # absolute exp2 with upper clamp — see _softmax_av
+        p = jnp.exp2(jnp.minimum(s2, 100.0))
     if int_attention:
         p_lv = jnp.round(p * 127.0).astype(jnp.int8)
         v_lv, v_s = dyn(v)
@@ -382,7 +402,7 @@ def attention_qkv_xla(qkv, *, heads, sm_scale, n_valid=None,
         pb = p.astype(qkv.dtype)
         o_un = jnp.einsum("bhnm,bmhd->bnhd", pb, v,
                           preferred_element_type=jnp.float32)
-        p_sum = jnp.sum(p, axis=-1)
+        p_sum = jnp.sum(p, axis=-1) + 1e-30
     p_sum = jnp.transpose(p_sum, (0, 2, 1))[..., None]
     if out_d is not None and not out_pow:
         lv = jnp.clip(

@@ -58,9 +58,15 @@ def _quantize_f32(x, d, t, top, act_pow: bool, folded: bool = False):
     ``folded``: the caller already multiplied 1/d into x's affine producer
     (LN gamma/beta or the dequant scale/bias), so the per-element multiply
     is skipped — one VPU pass saved per call at ViT serving shapes.
+
+    ``top`` may be a Python number (Pallas kernels MUST pass one: a
+    runtime-scalar clip bound makes Mosaic emit per-op splat code measured
+    +60us on the fc1 kernel at batch 32 — tools/exp_pro2.py — where an
+    immediate is free) or a traced array (fine under XLA).
     """
     x = x.astype(jnp.float32)
-    top_f = top.astype(jnp.float32)
+    top_f = (jnp.float32(top) if isinstance(top, (int, float))
+             else top.astype(jnp.float32))
     if act_pow:
         x_abs = jnp.abs(x)
         p = jnp.exp(t * jnp.log(jnp.maximum(x_abs, 1e-30)))
@@ -139,7 +145,8 @@ def _gelu_quant_folded(z, d, top):
     """
     e = _erf_f32(z)
     c2 = _SQRT2 * 0.5 / d  # scalar
-    top_f = top.astype(jnp.float32)
+    top_f = (jnp.float32(top) if isinstance(top, (int, float))
+             else top.astype(jnp.float32))
     w = z * c2
     lv = jnp.clip(jnp.round(w + w * e), -top_f, top_f)
     return lv.astype(jnp.int8)
@@ -184,17 +191,23 @@ def _pipeline_splits(np_: int, bm: int, prologue) -> tuple[int, int]:
         if lanes % cand == 0 and np_ // cand >= 256:
             s = cand
             break
-    r = 2 if (prologue is not None and bm >= 64) else 1
-    return r, s
+    # Row-splitting re-measured SLOWER once clip bounds became immediates
+    # (fc1 batch-32: R1/S4 215us vs R2/S4 222us, tools/exp_prod.py) — the
+    # prologue overlaps the first stripe's dot well enough without it.
+    return 1, s
 
 
 def _fused_kernel(*refs, fmt: str, k_half: int, k_real: int, prologue,
                   epilogue, act_pow: bool, out_pow: bool, ln_eps: float,
-                  has_bias: bool, row_chunks: int = 1, n_stripes: int = 1,
+                  has_bias: bool, act_top: int = 0, out_top: int = 0,
+                  row_chunks: int = 1, n_stripes: int = 1,
                   act_folded: bool = False, out_folded: bool = False):
     """Ref order: x, w, scale, [bias], [ln_g, ln_b], [residual],
-    [smem scalars: act_d, act_t, act_top][, out_d, out_t, out_top], o,
-    [w_lo, w_hi]."""
+    [smem scalars: act_d, act_t][, out_d, out_t], o, [w_lo, w_hi].
+
+    ``act_top``/``out_top`` are COMPILE-TIME ints: clip bounds must be
+    immediates — a runtime-scalar clip costs ~60us/call at fc1 batch-32
+    shapes (Mosaic re-splats the bound per vector op; tools/exp_pro2.py)."""
     it = iter(refs)
     x_ref = next(it)
     w_ref = next(it)
@@ -205,12 +218,12 @@ def _fused_kernel(*refs, fmt: str, k_half: int, k_real: int, prologue,
         ln_g_ref = next(it)
         ln_b_ref = next(it)
     res_ref = next(it) if epilogue == "residual" else None
-    act_d = act_t = act_top = None
+    act_d = act_t = None
     if prologue in ("quant", "ln_quant"):
-        act_d, act_t, act_top = next(it), next(it), next(it)
-    out_d = out_t = out_top = None
+        act_d, act_t = next(it), next(it)
+    out_d = out_t = None
     if epilogue in ("quant", "gelu_quant"):
-        out_d, out_t, out_top = next(it), next(it), next(it)
+        out_d, out_t = next(it), next(it)
     o_ref = next(it)
     w_lo_ref = w_hi_ref = None
     if fmt == "int4":
@@ -232,7 +245,7 @@ def _fused_kernel(*refs, fmt: str, k_half: int, k_real: int, prologue,
         if prologue == "ln_quant":
             xx = _layernorm_f32(xx, ln_g_ref[:], ln_b_ref[:], ln_eps,
                                 k_real=k_real)
-        return _quantize_f32(xx, act_d[0], act_t[0], act_top[0], act_pow,
+        return _quantize_f32(xx, act_d[0], act_t[0], act_top, act_pow,
                              folded=act_folded)
 
     def dot_stripe(lv, cols):
@@ -263,12 +276,12 @@ def _fused_kernel(*refs, fmt: str, k_half: int, k_real: int, prologue,
             o_ref[rows, cols] = out.astype(o_ref.dtype)
         elif epilogue == "gelu_quant" and out_folded:
             # out holds z = y/sqrt(2) (scale/bias pre-folded by the wrapper)
-            o_ref[rows, cols] = _gelu_quant_folded(out, out_d[0], out_top[0])
+            o_ref[rows, cols] = _gelu_quant_folded(out, out_d[0], out_top)
         elif epilogue in ("quant", "gelu_quant"):
             if epilogue == "gelu_quant":
                 out = _gelu_f32(out)
             o_ref[rows, cols] = _quantize_f32(out, out_d[0], out_t[0],
-                                              out_top[0], out_pow,
+                                              out_top, out_pow,
                                               folded=out_folded)
         else:
             o_ref[rows, cols] = out.astype(o_ref.dtype)
@@ -329,12 +342,31 @@ def _pick_block_m(m: int, kp: int, n: int, x_bytes: int, out_bytes: int,
     return 32 if cap >= 32 else cap
 
 
+def fused_quant_matmul(*args, **kw):
+    """Public entry: normalizes ``act_top``/``out_top`` to Python ints (they
+    are per-layer compile-time constants — see _fused_kernel) then calls the
+    jitted core. Accepts concrete scalars/0-d arrays for them; a traced
+    value is an error because the clip bound must be an immediate."""
+    for k in ("act_top", "out_top"):
+        v = kw.get(k)
+        if v is not None and not isinstance(v, int):
+            try:
+                kw[k] = int(v)
+            except jax.errors.TracerIntegerConversionError:
+                raise TypeError(
+                    f"{k} must be a static Python int (a per-layer constant"
+                    " baked into the kernel), not a traced value; pass it"
+                    " as static metadata (e.g. QLayerArtifact.top)") from None
+    return _fused_quant_matmul(*args, **kw)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("fmt", "prologue", "epilogue", "act_pow", "out_pow",
-                     "ln_eps", "out_dtype", "block_m", "interpret"),
+    static_argnames=("fmt", "prologue", "epilogue", "act_top", "act_pow",
+                     "out_top", "out_pow", "ln_eps", "out_dtype", "block_m",
+                     "interpret"),
 )
-def fused_quant_matmul(
+def _fused_quant_matmul(
     x: jax.Array,
     w: jax.Array,
     scale: jax.Array,
@@ -467,15 +499,13 @@ def fused_quant_matmul(
         operands.append(residual)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     if prologue in ("quant", "ln_quant"):
-        in_specs += [smem(), smem(), smem()]
+        in_specs += [smem(), smem()]
         operands += [jnp.asarray(act_d, jnp.float32).reshape(1),
-                     jnp.asarray(act_t, jnp.float32).reshape(1),
-                     jnp.asarray(act_top, jnp.int32).reshape(1)]
+                     jnp.asarray(act_t, jnp.float32).reshape(1)]
     if out_int8:
-        in_specs += [smem(), smem(), smem()]
+        in_specs += [smem(), smem()]
         operands += [jnp.asarray(out_d, jnp.float32).reshape(1),
-                     jnp.asarray(out_t, jnp.float32).reshape(1),
-                     jnp.asarray(out_top, jnp.int32).reshape(1)]
+                     jnp.asarray(out_t, jnp.float32).reshape(1)]
 
     scratch = []
     w_hbm_bytes = kp * np_ // 2
@@ -491,6 +521,7 @@ def fused_quant_matmul(
             _fused_kernel, fmt=fmt, k_half=kp // 2, k_real=k,
             prologue=prologue, epilogue=epilogue, act_pow=act_pow,
             out_pow=out_pow, ln_eps=ln_eps, has_bias=has_bias,
+            act_top=act_top or 0, out_top=out_top or 0,
             row_chunks=r_n, n_stripes=s_n,
             act_folded=act_folded, out_folded=out_folded),
         grid=grid,

@@ -33,20 +33,24 @@ import jax.numpy as jnp
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=("w", "scale", "bias", "act"),
-    meta_fields=("fmt", "act_pow"),
+    meta_fields=("fmt", "act_pow", "top"),
 )
 @dataclasses.dataclass
 class QLayerArtifact:
-    """One quantized layer's serving artifact. ``fmt`` ('int4'/'int8') and
+    """One quantized layer's serving artifact. ``fmt`` ('int4'/'int8'),
     ``act_pow`` (whether the layer's activation t != 1, i.e. the power map
-    must run) are pytree metadata so they stay static under jit."""
+    must run) and ``top`` (the activation clip level, a per-layer export-
+    time constant) are pytree metadata so they stay static under jit —
+    ``top`` in particular MUST be compile-time: a runtime clip bound costs
+    ~60us/kernel on v5e (ops/fused.py:_fused_kernel)."""
 
     w: jax.Array          # packed int4 [K/2, N] or int8 [K, N]
     scale: jax.Array      # d_w * d_a
     bias: Any             # [N] f32 or None
-    act: Dict[str, jax.Array]  # activation quantizer constants
+    act: Dict[str, jax.Array]  # activation quantizer constants (d, q_m, t)
     fmt: str
     act_pow: bool = True
+    top: int = 127
 
 from ..models.vit import ViTConfig
 from ..ops import (attention_qkv, attention_qkv_xla, fused_quant_matmul,
@@ -104,20 +108,20 @@ def _export_layer(layer_params: Dict[str, Any], pack_weights: bool = True):
         if float(top_a) > 127:
             d_a = jnp.broadcast_to(d_for_bits(8.0, qm_a, t_a), d_a.shape)
             top_a = lsfq_top_level(d_a, qm_a, t_a)[0]
-    act = {"d": d_a[0], "q_m": qm_a[0], "t": t_a[0],
-           "top": jnp.minimum(top_a, 127)}
+    act = {"d": d_a[0], "q_m": qm_a[0], "t": t_a[0]}
+    top = int(min(float(top_a), 127.0))
     act_pow = bool(abs(float(t_a[0]) - 1.0) > 1e-6)
     k = w_lv.shape[0]
     if pack_weights and top_w <= 7 and k % 2 == 0:
         return QLayerArtifact(
             w=pack_int4(jnp.clip(w_lv, -8, 7).astype(jnp.int8), axis=0),
             scale=(d_w * d_a)[0], bias=layer_params.get("bias"),
-            act=act, fmt="int4", act_pow=act_pow,
+            act=act, fmt="int4", act_pow=act_pow, top=top,
         )
     return QLayerArtifact(
         w=jnp.clip(w_lv, -127, 127).astype(jnp.int8),
         scale=(d_w * d_a)[0], bias=layer_params.get("bias"),
-        act=act, fmt="int8", act_pow=act_pow,
+        act=act, fmt="int8", act_pow=act_pow, top=top,
     )
 
 
@@ -162,7 +166,7 @@ def _qmatmul(x2d, entry: QLayerArtifact, use_pallas: bool,
     if kw["prologue"] is not None:
         kw.setdefault("act_d", entry.act["d"])
         kw.setdefault("act_t", entry.act["t"])
-        kw.setdefault("act_top", entry.act["top"])
+        kw.setdefault("act_top", entry.top)
         kw.setdefault("act_pow", entry.act_pow)
     return mm(x2d, entry.w, entry.scale, entry.bias, fmt=entry.fmt,
               out_dtype=float_dtype, **kw)
@@ -233,19 +237,12 @@ def vit_int4_forward(art, images, cfg: ViTConfig, use_pallas: bool = True,
         w_lv = pe.w
     dim = w_lv.shape[1]
     w_conv = w_lv.reshape(p, p, cfg.in_channels, dim).astype(jnp.bfloat16)
-    img_lv = _quantize_f32(images, pe.act["d"], pe.act["t"], pe.act["top"],
+    img_lv = _quantize_f32(images, pe.act["d"], pe.act["t"], pe.top,
                            pe.act_pow).astype(jnp.bfloat16)
     acc = jax.lax.conv_general_dilated(
         img_lv, w_conv, window_strides=(p, p), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32)
-    x = acc * pe.scale
-    if pe.bias is not None:
-        x = x + pe.bias
-    x = x.reshape(b, g * g, dim).astype(float_dtype)
-
-    cls = jnp.broadcast_to(art["cls_token"], (b, 1, dim)).astype(float_dtype)
-    x = jnp.concatenate([cls, x], axis=1) + art["pos_embed"].astype(float_dtype)
 
     n_real = cfg.num_tokens
     # 32-row padding (197 -> 224): int8 stream blocks are 32-sublane tiles,
@@ -254,9 +251,31 @@ def vit_int4_forward(art, images, cfg: ViTConfig, use_pallas: bool = True,
     # emitted. The attention kernel only scores keys up to
     # round_up(n_valid, 16) rows, so the extra query padding costs ~0 there.
     n_pad = _round_up(n_real, 32)
-    if n_pad != n_real:
-        x = jnp.pad(x, ((0, 0), (0, n_pad - n_real), (0, 0)))
-    x2d = x.reshape(b * n_pad, dim)
+
+    # Token layout: patches first (rows 0..P-1), cls LAST real row (P), pad
+    # rows above — permuted vs the reference's cls-first (vit_model.py:126)
+    # because attention is token-permutation-invariant and every other op
+    # is row-wise; cls-last keeps the patch_finalize store aligned (see
+    # ops/patch.py). pos/bias fold into per-row constants at trace time.
+    pos = art["pos_embed"].astype(jnp.float32).reshape(n_real, dim)
+    cls_row = art["cls_token"].astype(jnp.float32).reshape(dim) + pos[0]
+    pos_patch = pos[1:]
+    if pe.bias is not None:
+        pos_patch = pos_patch + pe.bias
+    acc = acc.reshape(b, g * g, dim)
+    if use_pallas:
+        from ..ops.patch import patch_finalize
+
+        x2d = patch_finalize(acc, pos_patch, cls_row, pe.scale,
+                             n_pad=n_pad, out_dtype=float_dtype)
+    else:
+        body = acc * jnp.asarray(pe.scale, jnp.float32) + pos_patch
+        x = jnp.concatenate(
+            [body, jnp.broadcast_to(cls_row, (b, 1, dim))], axis=1
+        ).astype(float_dtype)
+        if n_pad != n_real:
+            x = jnp.pad(x, ((0, 0), (0, n_pad - n_real), (0, 0)))
+        x2d = x.reshape(b * n_pad, dim)
 
     hd = dim // cfg.num_heads
     sm_scale = cfg.qk_scale if cfg.qk_scale is not None else hd**-0.5
@@ -277,7 +296,7 @@ def vit_int4_forward(art, images, cfg: ViTConfig, use_pallas: bool = True,
             qkv.reshape(b, n_pad, 3 * heads_i * hd),
             heads=heads_i, sm_scale=sm_scale, n_valid=n_real,
             out_d=proj_e.act["d"], out_t=proj_e.act["t"],
-            out_top=proj_e.act["top"], out_pow=proj_e.act_pow,
+            out_top=proj_e.top, out_pow=proj_e.act_pow,
             int_attention=int_attention,
         )
         x2d = _qmatmul(
@@ -290,14 +309,14 @@ def vit_int4_forward(art, images, cfg: ViTConfig, use_pallas: bool = True,
             ln_scale=blk["norm2"]["scale"], ln_bias=blk["norm2"]["bias"],
             epilogue="gelu_quant",
             out_d=fc2_e.act["d"], out_t=fc2_e.act["t"],
-            out_top=fc2_e.act["top"], out_pow=fc2_e.act_pow,
+            out_top=fc2_e.top, out_pow=fc2_e.act_pow,
         )
         x2d = _qmatmul(
             hlv, fc2_e, use_pallas, float_dtype,
             prologue=None, epilogue="residual", residual=x2d,
         )
 
-    x = x2d.reshape(b, n_pad, dim)[:, 0]  # cls row; LN is per-row
+    x = x2d.reshape(b, n_pad, dim)[:, n_real - 1]  # cls row (last real row)
     x = _layernorm(x, art["norm"]).astype(jnp.float32)
     if "pre_logits" in art:
         x = jnp.tanh(x @ art["pre_logits"]["kernel"] + art["pre_logits"]["bias"])
@@ -325,8 +344,8 @@ def random_vit_int4_artifact(cfg: ViTConfig, seed: int = 0,
             bias=jnp.array(rng.standard_normal(n).astype(np.float32) * 1e-2)
             if with_bias else None,
             act={"d": jnp.float32(0.05), "q_m": jnp.float32(0.35),
-                 "t": jnp.float32(1.0), "top": jnp.int32(7)},
-            fmt="int4" if pack_weights else "int8", act_pow=False,
+                 "t": jnp.float32(1.0)},
+            fmt="int4" if pack_weights else "int8", act_pow=False, top=7,
         )
 
     def ln(n):

@@ -30,8 +30,8 @@ def test_tree_roundtrip_preserves_structure_and_values(tmp_path):
         "q": QLayerArtifact(
             w=jnp.array(rng.integers(-8, 8, (4, 8)), jnp.int8),
             scale=jnp.float32(0.01), bias=None,
-            act={"d": jnp.float32(0.1), "top": jnp.int32(7)},
-            fmt="int4", act_pow=False),
+            act={"d": jnp.float32(0.1)},
+            fmt="int4", act_pow=False, top=7),
     }
     save_artifact_tree(str(tmp_path / "art"), tree, {"k": "v"})
     got, meta = load_artifact_tree(str(tmp_path / "art"))
@@ -47,6 +47,7 @@ def test_tree_roundtrip_preserves_structure_and_values(tmp_path):
     assert isinstance(got["lst"], list)
     q = got["q"]
     assert q.fmt == "int4" and q.act_pow is False and q.bias is None
+    assert q.top == 7
     np.testing.assert_array_equal(np.asarray(q.w), np.asarray(tree["q"].w))
     assert float(q.act["d"]) == pytest.approx(0.1)
 
