@@ -54,14 +54,23 @@ def main(argv=None):
     art, cfg = load_vit_int4_artifact(args.artifact, mesh=mesh)
     use_pallas = (jax.default_backend() == "tpu") and not args.no_pallas
 
+    # host-side patchify in the batcher's dispatch thread (overlapped with
+    # the device step): the on-device patch relayout costs ~220us/batch-32
+    # (tools/exp_entry.py), the host writes these bytes during batch
+    # assembly anyway — serve/vit_int4.py images_layout='patches'
+    from ..utils.native_prep import patchify_batch
+
     def forward(images):
-        x = jnp.asarray(images, jnp.float32)
+        x = jnp.asarray(
+            patchify_batch(np.asarray(images, np.float32), cfg.patch_size))
         if mesh is not None:
             with mesh:
                 return np.asarray(
-                    vit_int4_forward(art, x, cfg, use_pallas=use_pallas))
+                    vit_int4_forward(art, x, cfg, use_pallas=use_pallas,
+                                     images_layout="patches"))
         return np.asarray(
-            vit_int4_forward(art, x, cfg, use_pallas=use_pallas))
+            vit_int4_forward(art, x, cfg, use_pallas=use_pallas,
+                             images_layout="patches"))
 
     rng = np.random.default_rng(0)
     example = rng.standard_normal(

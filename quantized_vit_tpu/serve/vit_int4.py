@@ -187,11 +187,19 @@ def _round_up(a: int, b: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "use_pallas", "float_dtype", "int_attention"),
+    static_argnames=("cfg", "use_pallas", "float_dtype", "int_attention",
+                     "images_layout"),
 )
 def vit_int4_forward(art, images, cfg: ViTConfig, use_pallas: bool = True,
-                     float_dtype=jnp.float32, int_attention: bool = False):
-    """Quantized ViT forward on integer weights. images: [B, H, W, 3] f32.
+                     float_dtype=jnp.float32, int_attention: bool = False,
+                     images_layout: str = "nhwc"):
+    """Quantized ViT forward on integer weights. images: [B, H, W, 3] f32,
+    or — with ``images_layout='patches'`` — the host-patchified
+    [B, (H/P)*(W/P), P*P*3] layout from utils.native_prep.patchify_batch:
+    the on-device patch relayout costs ~220us/batch-32 however expressed
+    (strided conv, dy-gemm, explicit transpose — tools/exp_entry.py) while
+    the host input pipeline writes those bytes anyway, and the patch embed
+    then runs as an ordinary K=P*P*3 fused matmul (~40us).
 
     Fully fused serving pipeline (per transformer block, 5 kernels and no
     intermediate HBM glue):
@@ -229,20 +237,31 @@ def vit_int4_forward(art, images, cfg: ViTConfig, use_pallas: bool = True,
     # them). Replaces the reference's QuantizeConv2d patch embed
     # (vit_model.py:84-103, quant_layers.py:575-587).
     pe = art["patch_embed"]
-    if pe.fmt == "int4":
-        from ..quant.packing import unpack_int4
-
-        w_lv = unpack_int4(pe.w, axis=0)
+    if images_layout == "patches":
+        # host-patchified input: the patch embed is just a quantized matmul
+        # over K = p*p*3 (the SAME level math and integer accumulation as
+        # the conv form — bit-identical logits)
+        acc32 = _qmatmul(
+            images.reshape(b * g * g, p * p * cfg.in_channels), pe,
+            use_pallas, jnp.float32, prologue="quant", epilogue=None,
+        )
+        dim = acc32.shape[1]
+        acc = acc32.reshape(b, g, g, dim)
     else:
-        w_lv = pe.w
-    dim = w_lv.shape[1]
-    w_conv = w_lv.reshape(p, p, cfg.in_channels, dim).astype(jnp.bfloat16)
-    img_lv = _quantize_f32(images, pe.act["d"], pe.act["t"], pe.top,
-                           pe.act_pow).astype(jnp.bfloat16)
-    acc = jax.lax.conv_general_dilated(
-        img_lv, w_conv, window_strides=(p, p), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+        if pe.fmt == "int4":
+            from ..quant.packing import unpack_int4
+
+            w_lv = unpack_int4(pe.w, axis=0)
+        else:
+            w_lv = pe.w
+        dim = w_lv.shape[1]
+        w_conv = w_lv.reshape(p, p, cfg.in_channels, dim).astype(jnp.bfloat16)
+        img_lv = _quantize_f32(images, pe.act["d"], pe.act["t"], pe.top,
+                               pe.act_pow).astype(jnp.bfloat16)
+        acc = jax.lax.conv_general_dilated(
+            img_lv, w_conv, window_strides=(p, p), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
 
     n_real = cfg.num_tokens
     # 32-row padding (197 -> 224): int8 stream blocks are 32-sublane tiles,
@@ -260,16 +279,19 @@ def vit_int4_forward(art, images, cfg: ViTConfig, use_pallas: bool = True,
     pos = art["pos_embed"].astype(jnp.float32).reshape(n_real, dim)
     cls_row = art["cls_token"].astype(jnp.float32).reshape(dim) + pos[0]
     pos_patch = pos[1:]
-    if pe.bias is not None:
+    # 'patches' mode: _qmatmul already applied scale and bias -> finalize
+    # with scale 1 and bare pos; conv mode: scale/bias fold into finalize
+    pe_scale = jnp.float32(1.0) if images_layout == "patches" else pe.scale
+    if pe.bias is not None and images_layout != "patches":
         pos_patch = pos_patch + pe.bias
     acc = acc.reshape(b, g * g, dim)
     if use_pallas:
         from ..ops.patch import patch_finalize
 
-        x2d = patch_finalize(acc, pos_patch, cls_row, pe.scale,
+        x2d = patch_finalize(acc, pos_patch, cls_row, pe_scale,
                              n_pad=n_pad, out_dtype=float_dtype)
     else:
-        body = acc * jnp.asarray(pe.scale, jnp.float32) + pos_patch
+        body = acc * jnp.asarray(pe_scale, jnp.float32) + pos_patch
         x = jnp.concatenate(
             [body, jnp.broadcast_to(cls_row, (b, 1, dim))], axis=1
         ).astype(float_dtype)

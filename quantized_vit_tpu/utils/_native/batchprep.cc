@@ -48,6 +48,34 @@ void qvt_normalize_u8_to_f32(const uint8_t* src, float* dst,
     }
 }
 
+// NHWC [B, H, W, C] f32 -> patchified [B, (H/P)*(W/P), P*P*C] f32.
+// A pure byte reorder: on TPU the same relayout costs ~220us/batch-32 on
+// device (XLA materializes the patch transpose whether done as a strided
+// conv or an explicit reshape — tools/exp_entry.py), while the host writes
+// these bytes anyway when assembling the batch. Emitting the patch layout
+// from the input pipeline makes the ViT patch embed an ordinary K=P*P*C
+// fused matmul (serve/vit_int4.py images_layout="patches").
+void qvt_patchify_f32(const float* src, float* dst, int64_t b, int64_t h,
+                      int64_t w, int64_t c, int64_t p) {
+    const int64_t gh = h / p, gw = w / p;
+    const int64_t patch_elems = p * p * c;
+#pragma omp parallel for schedule(static) collapse(2)
+    for (int64_t bi = 0; bi < b; ++bi) {
+        for (int64_t r = 0; r < gh; ++r) {
+            const float* sb = src + bi * h * w * c;
+            float* db = dst + (bi * gh * gw + r * gw) * patch_elems;
+            for (int64_t dy = 0; dy < p; ++dy) {
+                const float* row = sb + (r * p + dy) * w * c;
+                for (int64_t s = 0; s < gw; ++s) {
+                    const float* sp = row + s * p * c;
+                    float* dp = db + s * patch_elems + dy * p * c;
+                    for (int64_t j = 0; j < p * c; ++j) dp[j] = sp[j];
+                }
+            }
+        }
+    }
+}
+
 // out[b, :] = src[idx[b], :]
 void qvt_gather_rows_f32(const float* src, const int64_t* idx, float* out,
                          int64_t n_rows, int64_t row_elems) {

@@ -69,6 +69,13 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
         ]
+        if hasattr(lib, "qvt_patchify_f32"):
+            lib.qvt_patchify_f32.argtypes = [
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64,
+            ]
         _lib = lib
         return _lib
 
@@ -132,6 +139,35 @@ def gather_rows(src: np.ndarray, idx: np.ndarray) -> np.ndarray:
         idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         len(idx), row_elems,
+    )
+    return out
+
+
+def patchify_batch(images: np.ndarray, patch: int) -> np.ndarray:
+    """NHWC f32 batch -> ViT patch layout [B, (H/P)*(W/P), P*P*C].
+
+    A pure host-side byte reorder (the batch assembler writes these bytes
+    anyway); on TPU the equivalent relayout costs ~220us/batch-32 however
+    it is expressed (tools/exp_entry.py), so serving feeds
+    ``vit_int4_forward(..., images_layout='patches')`` from here and the
+    patch embed becomes an ordinary K=P*P*C fused matmul.
+    """
+    images = np.ascontiguousarray(images, np.float32)
+    b, h, w, c = images.shape
+    if h % patch or w % patch:
+        raise ValueError(f"image {h}x{w} not divisible by patch {patch}")
+    lib = _load()
+    if lib is None or not hasattr(lib, "qvt_patchify_f32"):
+        x = images.reshape(b, h // patch, patch, w // patch, patch * c)
+        x = np.transpose(x, (0, 1, 3, 2, 4))
+        return np.ascontiguousarray(
+            x.reshape(b, (h // patch) * (w // patch), patch * patch * c))
+    out = np.empty((b, (h // patch) * (w // patch), patch * patch * c),
+                   np.float32)
+    lib.qvt_patchify_f32(
+        images.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        b, h, w, c, patch,
     )
     return out
 

@@ -156,3 +156,18 @@ def test_export_requantizes_layers_above_8_bits():
     y_fake = np.asarray(model.apply({"params": p8}, x))
     y_int = np.asarray(vit_int4_forward(art, x, cfg, use_pallas=False))
     np.testing.assert_allclose(y_int, y_fake, rtol=2e-4, atol=2e-4)
+
+
+def test_patches_layout_matches_nhwc():
+    """images_layout='patches' (host-patchified input via
+    utils.native_prep.patchify_batch) must reproduce the NHWC conv path:
+    same integer level math, only the contraction layout differs."""
+    from quantized_vit_tpu.utils.native_prep import patchify_batch
+
+    cfg, model, params, x = _build(4.0)
+    art = export_vit_int4(cfg, params)
+    y_ref = np.asarray(vit_int4_forward(art, x, cfg, use_pallas=False))
+    xp = jnp.asarray(patchify_batch(np.asarray(x), cfg.patch_size))
+    y_p = np.asarray(vit_int4_forward(art, xp, cfg, use_pallas=False,
+                                      images_layout="patches"))
+    np.testing.assert_allclose(y_p, y_ref, rtol=2e-4, atol=2e-4)
