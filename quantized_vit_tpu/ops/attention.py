@@ -228,39 +228,46 @@ def _softmax_av(s2, v, col, n_valid, int_attention):
 
 def _attn_qkv_kernel(x_ref, *rest, heads: int, head_dim: int,
                      sm_scale: float, n_valid: int, quantize: bool,
-                     out_pow: bool, int_attention: bool, out_top: int = 0):
-    """Per-batch program over the RAW fused-qkv matmul output layout
-    [N, (3, H, hd)] — head slices are static lane slices, so no HBM
-    transpose of the [M, 3D] qkv tensor is ever materialized.
+                     out_pow: bool, int_attention: bool, out_top: int = 0,
+                     j_imgs: int = 1):
+    """Program over ``j_imgs`` images x ``heads`` of the RAW fused-qkv
+    matmul output layout [N, (3, H, hd)] — head slices are static lane
+    slices, so no HBM transpose of the [M, 3D] qkv tensor is ever
+    materialized.
 
-    The head loop is software-pipelined: head h+1's score matmul (MXU) is
-    issued before head h's softmax (VPU) so the scheduler can overlap the
-    two units — the softmax is the serial bottleneck otherwise."""
+    The (image, head) task loop is software-pipelined: task i+1's score
+    matmul (MXU) is issued before task i's softmax (VPU) so the scheduler
+    can overlap the two units — the softmax is the serial bottleneck
+    otherwise. Two images per program measured 99us vs 122us for one at
+    ViT-B batch-32 (tools/exp_attn2.py: a longer task loop amortizes the
+    pipeline fill/drain; 4 regresses on VMEM pressure)."""
     if quantize:
         d_ref, t_ref, o_ref = rest
     else:
         (o_ref,) = rest
-    x = x_ref[0]
-    n = x.shape[0]
-    nk = _n_keys(n, n_valid, x.dtype.itemsize)
+    n = x_ref.shape[1]
+    nk = _n_keys(n, n_valid, x_ref.dtype.itemsize)
     hdim = heads * head_dim
     col = None
     if n_valid < nk:
         col = jax.lax.broadcasted_iota(jnp.int32, (n, nk), dimension=1)
 
-    def qkv_h(h):
+    def qkv_h(j, h):
+        x = x_ref[j]
         q = x[:, h * head_dim:(h + 1) * head_dim]
         k = x[:nk, hdim + h * head_dim:hdim + (h + 1) * head_dim]
         v = x[:nk, 2 * hdim + h * head_dim:2 * hdim + (h + 1) * head_dim]
         return q, k, v
 
-    q0, k0, v0 = qkv_h(0)
+    tasks = [(j, h) for j in range(j_imgs) for h in range(heads)]
+    q0, k0, v0 = qkv_h(*tasks[0])
     s_next = _score_one_head(q0, k0, sm_scale, int_attention)
     v_cur = v0
-    for h in range(heads):
+    for i, (j, h) in enumerate(tasks):
         s_cur, v_use = s_next, v_cur
-        if h + 1 < heads:
-            q1, k1, v_cur = qkv_h(h + 1)
+        if i + 1 < len(tasks):
+            jn, hn = tasks[i + 1]
+            q1, k1, v_cur = qkv_h(jn, hn)
             s_next = _score_one_head(q1, k1, sm_scale, int_attention)
         o_un, p_sum = _softmax_av(s_cur, v_use, col, n_valid, int_attention)
         if quantize and not out_pow:
@@ -268,12 +275,12 @@ def _attn_qkv_kernel(x_ref, *rest, heads: int, head_dim: int,
             # [n, 1] multiply instead of an [n, hd] pass
             lv = jnp.clip(jnp.round(o_un * (1.0 / (p_sum * d_ref[0]))),
                           -float(out_top), float(out_top))
-            o_ref[0, :, h * head_dim:(h + 1) * head_dim] = lv.astype(jnp.int8)
+            o_ref[j, :, h * head_dim:(h + 1) * head_dim] = lv.astype(jnp.int8)
         elif quantize:
-            o_ref[0, :, h * head_dim:(h + 1) * head_dim] = _quantize_f32(
+            o_ref[j, :, h * head_dim:(h + 1) * head_dim] = _quantize_f32(
                 o_un / p_sum, d_ref[0], t_ref[0], out_top, out_pow)
         else:
-            o_ref[0, :, h * head_dim:(h + 1) * head_dim] = (
+            o_ref[j, :, h * head_dim:(h + 1) * head_dim] = (
                 o_un / p_sum).astype(o_ref.dtype)
 
 
@@ -321,7 +328,10 @@ def _attention_qkv(
         n_valid = n
     out_eltype = jnp.int8 if quantize else out_dtype
 
-    in_specs = [pl.BlockSpec((1, n, three_hdim), lambda i: (i, 0, 0),
+    # 2 images per program when the batch allows: longer task loop ->
+    # better MXU/VPU pipeline amortization (tools/exp_attn2.py)
+    j_imgs = 2 if b % 2 == 0 else 1
+    in_specs = [pl.BlockSpec((j_imgs, n, three_hdim), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)]
     operands = [qkv]
     if quantize:
@@ -335,10 +345,11 @@ def _attention_qkv(
             _attn_qkv_kernel, heads=heads, head_dim=head_dim,
             sm_scale=sm_scale, n_valid=n_valid, quantize=quantize,
             out_pow=out_pow, int_attention=int_attention,
-            out_top=out_top or 0),
-        grid=(b,),
+            out_top=out_top or 0, j_imgs=j_imgs),
+        grid=(b // j_imgs,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, n, heads * head_dim), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((j_imgs, n, heads * head_dim),
+                               lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, heads * head_dim), out_eltype),
         cost_estimate=pl.CostEstimate(
