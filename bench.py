@@ -76,10 +76,14 @@ def _kernel_parity_check():
     got = np.asarray(fused_quant_matmul(x, w, jnp.float32(1e-3), bias, **kw))
     want = np.asarray(
         fused_quant_matmul_xla(x, w, jnp.float32(1e-3), bias, **kw))
-    if not np.array_equal(got, want):
+    # int8 levels; a benign compiler/runtime transcendental ulp change may
+    # flip a level at a rounding tie — allow <=1 level at <=0.5% of
+    # positions, mirroring the attention check (ADVICE r2 #2)
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    if diff.max() > 1 or (diff > 0).mean() > 0.005:
         raise AssertionError(
-            f"fused_quant_matmul Mosaic != XLA: {np.abs(got - want).max()} "
-            f"max level diff at {(got != want).sum()} positions")
+            f"fused_quant_matmul Mosaic != XLA: max level diff {diff.max()} "
+            f"at {(diff > 0).sum()} positions ({(diff > 0).mean():.4%})")
 
     qkv = jnp.array(rng.standard_normal((2, 64, 3 * 128)) * 0.1, jnp.bfloat16)
     akw = dict(heads=2, sm_scale=0.125, n_valid=50, out_d=jnp.float32(0.05),

@@ -146,10 +146,16 @@ def main(argv=None):
             import numpy as np
 
             np.savez(pt_path, **sd)
+            print("[export] WARNING: torch unavailable — wrote a numpy "
+                  f"archive ({pt_path}) instead of model.pt; downstream "
+                  "torch consumers must np.load it and build tensors "
+                  "themselves (ADVICE r2 #3)")
         arch = dataclasses.asdict(cfg)  # recurses into the quant dataclass
         with open(os.path.join(args.out, "arch.json"), "w") as f:
             json.dump(arch, f, indent=1)
-        print(f"[export] torch state dict -> {pt_path}, arch.json alongside")
+        kind = ("torch state dict" if pt_path.endswith(".pt")
+                else "numpy state-dict archive (torch fallback)")
+        print(f"[export] {kind} -> {pt_path}, arch.json alongside")
         return args.out
 
     from ..artifact import save_vit_int4_artifact

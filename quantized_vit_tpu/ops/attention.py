@@ -68,6 +68,11 @@ def flash_attention(*args, **kw):
     v = kw.get("out_top")
     if v is not None and not isinstance(v, int):
         kw["out_top"] = int(v)
+    if kw.get("out_d") is not None and not (kw.get("out_top") or 0) >= 1:
+        raise ValueError(
+            "flash_attention: out_d given but out_top is "
+            f"{kw.get('out_top')!r}; the quantize epilogue needs the "
+            "layer's positive top level (QLayerArtifact.top)")
     return _flash_attention(*args, **kw)
 
 
@@ -290,6 +295,13 @@ def attention_qkv(*args, **kw):
     v = kw.get("out_top")
     if v is not None and not isinstance(v, int):
         kw["out_top"] = int(v)
+    if kw.get("out_d") is not None and not (kw.get("out_top") or 0) >= 1:
+        # a missing/zero top would silently clip every level to [-0, 0]
+        # and emit all-zero int8 output (ADVICE r2 #1)
+        raise ValueError(
+            "attention_qkv: out_d given but out_top is "
+            f"{kw.get('out_top')!r}; the quantize epilogue needs the "
+            "layer's positive top level (QLayerArtifact.top)")
     return _attention_qkv(*args, **kw)
 
 
@@ -352,6 +364,9 @@ def _attention_qkv(
                                lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, heads * head_dim), out_eltype),
+        # whole-call totals (CostEstimate covers the entire pallas_call, not
+        # one program, so no j_imgs scaling — ADVICE r2 #4 reviewed): the
+        # full batch b appears in every term
         cost_estimate=pl.CostEstimate(
             flops=2 * b * heads * n * n * head_dim * 2,
             bytes_accessed=b * n * three_hdim * qkv.dtype.itemsize

@@ -357,6 +357,19 @@ def fused_quant_matmul(*args, **kw):
                     f"{k} must be a static Python int (a per-layer constant"
                     " baked into the kernel), not a traced value; pass it"
                     " as static metadata (e.g. QLayerArtifact.top)") from None
+    # a missing/zero top with an active quantizer would silently clip every
+    # level to [-0, 0] and emit all-zero int8 output (ADVICE r2 #1)
+    if (kw.get("prologue", "quant") in ("quant", "ln_quant")
+            and kw.get("act_d") is not None
+            and not (kw.get("act_top") or 0) >= 1):
+        raise ValueError(
+            f"fused_quant_matmul: {kw.get('prologue', 'quant')!r} prologue "
+            f"needs a positive act_top, got {kw.get('act_top')!r}")
+    if (kw.get("epilogue") in ("quant", "gelu_quant")
+            and not (kw.get("out_top") or 0) >= 1):
+        raise ValueError(
+            f"fused_quant_matmul: {kw.get('epilogue')!r} epilogue needs a "
+            f"positive out_top, got {kw.get('out_top')!r}")
     return _fused_quant_matmul(*args, **kw)
 
 

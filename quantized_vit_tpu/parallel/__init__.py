@@ -8,6 +8,13 @@ from .audit import (
     predict_scaling,
     summarize,
 )
+from .aot import (
+    aot_compile,
+    audit_schedule,
+    get_topology,
+    parse_entry_schedule,
+    predict_tp_step,
+)
 from .collectives import (
     dp_all_reduce_grads,
     quantized_ring_all_reduce,
@@ -46,6 +53,11 @@ __all__ = [
     "parse_collectives",
     "predict_scaling",
     "summarize",
+    "aot_compile",
+    "audit_schedule",
+    "get_topology",
+    "parse_entry_schedule",
+    "predict_tp_step",
     "dp_all_reduce_grads",
     "quantized_ring_all_reduce",
     "HealthCheckError",

@@ -50,7 +50,8 @@ class CollectiveOp:
     kind: str
     dtype: str
     shape: Tuple[int, ...]
-    bytes: int
+    bytes: int          # full-tensor size S for the ring model
+    group_size: int = 0  # replica group size (0 = unknown -> caller's n_dev)
 
 
 def collective_stats(fn, *args, static_argnames=None,
@@ -64,6 +65,20 @@ def collective_stats(fn, *args, static_argnames=None,
         fn, static_argnames=static_argnames)
     txt = jitted.lower(*args).compile().as_text()
     return parse_collectives(txt)
+
+
+_GROUPS_RE = re.compile(r"replica_groups=\{\{([\d,]+)\}")
+_GROUPS_IOTA_RE = re.compile(r"replica_groups=\[(\d+),(\d+)\]")
+
+
+def _replica_group_size(line: str) -> int:
+    m = _GROUPS_RE.search(line)
+    if m:
+        return len(m.group(1).split(","))
+    m = _GROUPS_IOTA_RE.search(line)  # iota form [n_groups, group_size]<=[N]
+    if m:
+        return int(m.group(2))
+    return 0
 
 
 def parse_collectives(hlo_text: str) -> List[CollectiveOp]:
@@ -84,7 +99,12 @@ def parse_collectives(hlo_text: str) -> List[CollectiveOp]:
         shape = tuple(int(d) for d in dims.split(",") if d) if dims else ()
         nbytes = int(np.prod(shape, dtype=np.int64)) * _DTYPE_BYTES.get(
             dtype, 4) if shape else _DTYPE_BYTES.get(dtype, 4)
-        out.append(CollectiveOp(kind, dtype, shape, nbytes))
+        group = _replica_group_size(line)
+        if kind == "reduce-scatter":
+            # the HLO result is ONE SHARD; the ring model wants the full
+            # reduced tensor S = shard * group
+            nbytes *= max(group, 1)
+        out.append(CollectiveOp(kind, dtype, shape, nbytes, group))
     return out
 
 
@@ -139,7 +159,9 @@ def predict_scaling(
     conservative).
     """
     bw = link_bw * ring_links
-    t_comm = sum(ring_time(op.bytes, n_dev, bw, op.kind) for op in ops)
+    t_comm = sum(
+        ring_time(op.bytes, op.group_size or n_dev, bw, op.kind)
+        for op in ops)
     exposed = t_comm * (1.0 - overlap_fraction)
     t_step = compute_time_s + exposed
     return {

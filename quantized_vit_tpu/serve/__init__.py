@@ -2,7 +2,12 @@
 
 from .vit_int4 import (export_vit_int4, vit_int4_forward, QLayerArtifact,
                        random_vit_int4_artifact)
+from .vit_tp import (permute_qkv_entry, prepare_tp_artifact,
+                     shard_tp_artifact, tp_artifact_specs,
+                     vit_int4_forward_tp)
 from .batching import ContinuousBatcher, MultiHostFrontend
 
 __all__ = ["export_vit_int4", "vit_int4_forward", "QLayerArtifact",
-           "random_vit_int4_artifact", "ContinuousBatcher", "MultiHostFrontend"]
+           "random_vit_int4_artifact", "ContinuousBatcher",
+           "MultiHostFrontend", "permute_qkv_entry", "prepare_tp_artifact",
+           "shard_tp_artifact", "tp_artifact_specs", "vit_int4_forward_tp"]

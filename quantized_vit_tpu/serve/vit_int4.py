@@ -185,6 +185,68 @@ def _round_up(a: int, b: int) -> int:
     return -(-a // b) * b
 
 
+def _embed_tokens(art, images, cfg: ViTConfig, use_pallas: bool,
+                  float_dtype, images_layout: str):
+    """Patch-embed + pos-embed + cls + pad: images -> [B*n_pad, D] rows.
+
+    Shared by the single-device forward and the shard_map TP forward
+    (serve/vit_tp.py), which runs it per-device on its local images.
+    Returns (x2d, n_pad, dim). See :func:`vit_int4_forward` for the layout
+    notes (cls-last token order, 32-row padding)."""
+    b = images.shape[0]
+    p = cfg.patch_size
+    g = cfg.img_size // p
+
+    pe = art["patch_embed"]
+    if images_layout == "patches":
+        acc32 = _qmatmul(
+            images.reshape(b * g * g, p * p * cfg.in_channels), pe,
+            use_pallas, jnp.float32, prologue="quant", epilogue=None,
+        )
+        dim = acc32.shape[1]
+        acc = acc32.reshape(b, g, g, dim)
+    else:
+        if pe.fmt == "int4":
+            from ..quant.packing import unpack_int4
+
+            w_lv = unpack_int4(pe.w, axis=0)
+        else:
+            w_lv = pe.w
+        dim = w_lv.shape[1]
+        w_conv = w_lv.reshape(p, p, cfg.in_channels, dim).astype(jnp.bfloat16)
+        img_lv = _quantize_f32(images, pe.act["d"], pe.act["t"], pe.top,
+                               pe.act_pow).astype(jnp.bfloat16)
+        acc = jax.lax.conv_general_dilated(
+            img_lv, w_conv, window_strides=(p, p), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+
+    n_real = cfg.num_tokens
+    n_pad = _round_up(n_real, 32)
+
+    pos = art["pos_embed"].astype(jnp.float32).reshape(n_real, dim)
+    cls_row = art["cls_token"].astype(jnp.float32).reshape(dim) + pos[0]
+    pos_patch = pos[1:]
+    pe_scale = jnp.float32(1.0) if images_layout == "patches" else pe.scale
+    if pe.bias is not None and images_layout != "patches":
+        pos_patch = pos_patch + pe.bias
+    acc = acc.reshape(b, g * g, dim)
+    if use_pallas:
+        from ..ops.patch import patch_finalize
+
+        x2d = patch_finalize(acc, pos_patch, cls_row, pe_scale,
+                             n_pad=n_pad, out_dtype=float_dtype)
+    else:
+        body = acc * jnp.asarray(pe_scale, jnp.float32) + pos_patch
+        x = jnp.concatenate(
+            [body, jnp.broadcast_to(cls_row, (b, 1, dim))], axis=1
+        ).astype(float_dtype)
+        if n_pad != n_real:
+            x = jnp.pad(x, ((0, 0), (0, n_pad - n_real), (0, 0)))
+        x2d = x.reshape(b * n_pad, dim)
+    return x2d, n_pad, dim
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "use_pallas", "float_dtype", "int_attention",
@@ -221,9 +283,6 @@ def vit_int4_forward(art, images, cfg: ViTConfig, use_pallas: bool = True,
     flip between the two.
     """
     b = images.shape[0]
-    p = cfg.patch_size
-    g = cfg.img_size // p
-    dim = cfg.embed_dim
     mm = fused_quant_matmul if use_pallas else fused_quant_matmul_xla
     attn_fn = attention_qkv if use_pallas else attention_qkv_xla
 
@@ -235,69 +294,18 @@ def vit_int4_forward(art, images, cfg: ViTConfig, use_pallas: bool = True,
     # the [B,224,224,3] -> [B*196,768] relayout that cost ~570us/batch-32
     # on v5e (patchify transposes cross the lane dim, so XLA materializes
     # them). Replaces the reference's QuantizeConv2d patch embed
-    # (vit_model.py:84-103, quant_layers.py:575-587).
-    pe = art["patch_embed"]
-    if images_layout == "patches":
-        # host-patchified input: the patch embed is just a quantized matmul
-        # over K = p*p*3 (the SAME level math and integer accumulation as
-        # the conv form — bit-identical logits)
-        acc32 = _qmatmul(
-            images.reshape(b * g * g, p * p * cfg.in_channels), pe,
-            use_pallas, jnp.float32, prologue="quant", epilogue=None,
-        )
-        dim = acc32.shape[1]
-        acc = acc32.reshape(b, g, g, dim)
-    else:
-        if pe.fmt == "int4":
-            from ..quant.packing import unpack_int4
-
-            w_lv = unpack_int4(pe.w, axis=0)
-        else:
-            w_lv = pe.w
-        dim = w_lv.shape[1]
-        w_conv = w_lv.reshape(p, p, cfg.in_channels, dim).astype(jnp.bfloat16)
-        img_lv = _quantize_f32(images, pe.act["d"], pe.act["t"], pe.top,
-                               pe.act_pow).astype(jnp.bfloat16)
-        acc = jax.lax.conv_general_dilated(
-            img_lv, w_conv, window_strides=(p, p), padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
-
+    # (vit_model.py:84-103, quant_layers.py:575-587). With
+    # images_layout='patches' the host already patchified and the embed is
+    # a plain quantized matmul over K = p*p*3 (bit-identical logits).
+    #
+    # 32-row token padding (197 -> 224): int8 stream blocks are 32-sublane
+    # tiles, and M = B*224 divides the empirically fast 224/448/896-row M
+    # tiles (ops/fused.py:_BLOCK_M_CANDIDATES) so no per-kernel pad/slice
+    # glue is emitted. Token layout: patches first, cls LAST real row, pad
+    # rows above — attention is token-permutation-invariant (ops/patch.py).
+    x2d, n_pad, dim = _embed_tokens(art, images, cfg, use_pallas,
+                                    float_dtype, images_layout)
     n_real = cfg.num_tokens
-    # 32-row padding (197 -> 224): int8 stream blocks are 32-sublane tiles,
-    # and M = B*224 divides the empirically fast 224/448/896-row M tiles
-    # (ops/fused.py:_BLOCK_M_CANDIDATES) so no per-kernel pad/slice glue is
-    # emitted. The attention kernel only scores keys up to
-    # round_up(n_valid, 16) rows, so the extra query padding costs ~0 there.
-    n_pad = _round_up(n_real, 32)
-
-    # Token layout: patches first (rows 0..P-1), cls LAST real row (P), pad
-    # rows above — permuted vs the reference's cls-first (vit_model.py:126)
-    # because attention is token-permutation-invariant and every other op
-    # is row-wise; cls-last keeps the patch_finalize store aligned (see
-    # ops/patch.py). pos/bias fold into per-row constants at trace time.
-    pos = art["pos_embed"].astype(jnp.float32).reshape(n_real, dim)
-    cls_row = art["cls_token"].astype(jnp.float32).reshape(dim) + pos[0]
-    pos_patch = pos[1:]
-    # 'patches' mode: _qmatmul already applied scale and bias -> finalize
-    # with scale 1 and bare pos; conv mode: scale/bias fold into finalize
-    pe_scale = jnp.float32(1.0) if images_layout == "patches" else pe.scale
-    if pe.bias is not None and images_layout != "patches":
-        pos_patch = pos_patch + pe.bias
-    acc = acc.reshape(b, g * g, dim)
-    if use_pallas:
-        from ..ops.patch import patch_finalize
-
-        x2d = patch_finalize(acc, pos_patch, cls_row, pe_scale,
-                             n_pad=n_pad, out_dtype=float_dtype)
-    else:
-        body = acc * jnp.asarray(pe_scale, jnp.float32) + pos_patch
-        x = jnp.concatenate(
-            [body, jnp.broadcast_to(cls_row, (b, 1, dim))], axis=1
-        ).astype(float_dtype)
-        if n_pad != n_real:
-            x = jnp.pad(x, ((0, 0), (0, n_pad - n_real), (0, 0)))
-        x2d = x.reshape(b * n_pad, dim)
 
     hd = dim // cfg.num_heads
     sm_scale = cfg.qk_scale if cfg.qk_scale is not None else hd**-0.5
