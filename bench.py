@@ -60,6 +60,7 @@ def _kernel_parity_check():
     from quantized_vit_tpu.ops import (attention_qkv, attention_qkv_xla,
                                        fused_quant_matmul,
                                        fused_quant_matmul_xla)
+    from quantized_vit_tpu.ops.fused import _quantize_f32
     from quantized_vit_tpu.quant.packing import pack_int4
 
     rng = np.random.default_rng(7)
@@ -84,6 +85,38 @@ def _kernel_parity_check():
         raise AssertionError(
             f"fused_quant_matmul Mosaic != XLA: max level diff {diff.max()} "
             f"at {(diff > 0).sum()} positions ({(diff > 0).mean():.4%})")
+
+    # packed-int4 weight variant (batch-1/bandwidth serving default):
+    # exercises the in-kernel nibble unpack path
+    x8 = _quantize_f32(x, jnp.float32(0.05), jnp.float32(1.0), 7, False)
+    got_p = np.asarray(fused_quant_matmul(
+        x8, w, jnp.float32(1e-3), bias, fmt="int4", prologue=None,
+        epilogue="residual", residual=jnp.zeros((m, n), jnp.bfloat16)))
+    want_p = np.asarray(fused_quant_matmul_xla(
+        x8, w, jnp.float32(1e-3), bias, fmt="int4", prologue=None,
+        epilogue="residual", residual=jnp.zeros((m, n), jnp.bfloat16)))
+    if not np.array_equal(got_p, want_p):
+        raise AssertionError(
+            "packed-int4 fused_quant_matmul Mosaic != XLA: "
+            f"{np.abs(got_p.astype(np.float32) - want_p.astype(np.float32)).max()}")
+
+    # patch_finalize: the entry kernel of the patches-layout serving path
+    # (serve/vit_int4.py:_embed_tokens) — a Mosaic regression here would
+    # corrupt every headline number silently (VERDICT r2 weak #6)
+    from quantized_vit_tpu.ops.patch import patch_finalize
+
+    acc = jnp.array(rng.standard_normal((3, 4, 256)), jnp.float32)
+    pos = jnp.array(rng.standard_normal((4, 256)), jnp.float32)
+    cls = jnp.array(rng.standard_normal((256,)), jnp.float32)
+    got_f = np.asarray(patch_finalize(acc, pos, cls, jnp.float32(0.125),
+                                      n_pad=32))
+    body = np.asarray(acc) * 0.125 + np.asarray(pos)
+    want_f = np.zeros((3, 32, 256), np.float32)
+    want_f[:, :4] = body
+    want_f[:, 4] = np.asarray(cls)
+    want_f = want_f.astype(jnp.bfloat16).reshape(3 * 32, 256)
+    if not np.array_equal(got_f, np.asarray(want_f)):
+        raise AssertionError("patch_finalize Mosaic != reference layout")
 
     qkv = jnp.array(rng.standard_normal((2, 64, 3 * 128)) * 0.1, jnp.bfloat16)
     akw = dict(heads=2, sm_scale=0.125, n_valid=50, out_d=jnp.float32(0.05),

@@ -32,8 +32,11 @@ def add_dataset_args(p: argparse.ArgumentParser):
 
 def add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--model", default="vit_b16",
-                   choices=["vit_b16", "vit_b32", "vit_l16", "vit_tiny_test"],
-                   help="vit_tiny_test is a 2-block toy for smoke runs")
+                   choices=["vit_b16", "vit_b32", "vit_l16", "vit_tiny_test",
+                            "vit_small_test"],
+                   help="vit_tiny_test is a 2-block toy for smoke runs; "
+                        "vit_small_test a 4-block patch-8 model for the "
+                        "accuracy rehearsal")
     p.add_argument("--weights", default="",
                    help="checkpoint dir to initialize from (opt/checkpoint)")
 
@@ -53,6 +56,10 @@ def build_model(args, quant):
     elif args.model == "vit_l16":
         cfg = ViTConfig(img_size=args.img_size, patch_size=16, embed_dim=1024,
                         depth=24, num_heads=16,
+                        num_classes=args.num_classes, quant=quant)
+    elif args.model == "vit_small_test":
+        cfg = ViTConfig(img_size=args.img_size, patch_size=8, embed_dim=64,
+                        depth=4, num_heads=4,
                         num_classes=args.num_classes, quant=quant)
     else:  # vit_tiny_test
         cfg = ViTConfig(img_size=args.img_size, patch_size=16, embed_dim=64,

@@ -74,6 +74,20 @@ def parse_args(argv=None):
                     help="output directory (model.pt + arch.json)")
     pt.add_argument("--img-size", type=int, default=224)
     pt.add_argument("--num-classes", type=int, default=10)
+
+    po = sub.add_parser(
+        "onnx",
+        help="ViT checkpoint (full or GETA-compressed) -> ONNX graph of "
+             "the dense float model via a reference-shaped torch module "
+             "(pruning_compression.py:374-391's onnx branch). Requires "
+             "the 'onnx' package at runtime; --bake-quant folds the "
+             "trained weight-quant levels into the float weights first")
+    add_model_args(po)
+    po.add_argument("--checkpoint", required=True)
+    po.add_argument("--out", required=True, help="output .onnx path")
+    po.add_argument("--img-size", type=int, default=224)
+    po.add_argument("--num-classes", type=int, default=10)
+    po.add_argument("--bake-quant", action="store_true")
     return p.parse_args(argv)
 
 
@@ -118,6 +132,28 @@ def main(argv=None):
                                                        args.out)
         print(f"[export] reference npz -> {npz_path}, config -> {cfg_path}")
         return args.out
+
+    if args.target == "onnx":
+        import dataclasses
+
+        from ..cli.eval import vit_config_from_dict
+        from ..interop import vit_params_to_torch
+        from ..interop.torch_model import (bake_weight_quant, build_torch_vit,
+                                           export_onnx, load_interchange)
+        from ..models.layers import QuantConfig
+
+        params, _, extra = load_params_any(args.checkpoint)
+        if "subnet" in extra:
+            cfg = vit_config_from_dict(extra["subnet"])
+        else:
+            _, cfg = build_model(args, QuantConfig(enabled=True))
+        if args.bake_quant:
+            params = bake_weight_quant(params, cfg)
+        model = build_torch_vit(dataclasses.asdict(cfg))
+        load_interchange(model, vit_params_to_torch(params))
+        out = export_onnx(args.out, model, cfg.img_size, cfg.in_channels)
+        print(f"[export] onnx graph -> {out}")
+        return out
 
     if args.target == "torch":
         import dataclasses

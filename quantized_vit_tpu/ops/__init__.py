@@ -7,7 +7,8 @@ from .int4_matmul import (
     int8_matmul_xla,
     quant_matmul_fa,
 )
-from .fused import fused_quant_matmul, fused_quant_matmul_xla
+from .fused import (fused_mlp, fused_mlp_xla, fused_quant_matmul,
+                    fused_quant_matmul_xla)
 from .attention import (
     attention_qkv,
     attention_qkv_xla,
@@ -24,6 +25,8 @@ __all__ = [
     "int8_matmul_xla",
     "fused_quant_matmul",
     "fused_quant_matmul_xla",
+    "fused_mlp",
+    "fused_mlp_xla",
     "attention_qkv",
     "attention_qkv_xla",
     "flash_attention",

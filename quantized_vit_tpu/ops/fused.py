@@ -219,7 +219,7 @@ def _fused_kernel(*refs, fmt: str, k_half: int, k_real: int, prologue,
         ln_b_ref = next(it)
     res_ref = next(it) if epilogue == "residual" else None
     act_d = act_t = None
-    if prologue in ("quant", "ln_quant"):
+    if prologue in ("quant", "ln_quant", "gelu_quant"):
         act_d, act_t = next(it), next(it)
     out_d = out_t = None
     if epilogue in ("quant", "gelu_quant"):
@@ -242,6 +242,13 @@ def _fused_kernel(*refs, fmt: str, k_half: int, k_real: int, prologue,
         if prologue is None:
             return x_ref[rows, :]
         xx = x_ref[rows, :]
+        if prologue == "gelu_quant":
+            # x carries z = y/sqrt(2) from the producer (which folded
+            # 1/sqrt(2) into its dequant scale/bias); quantize GELU(y) to
+            # this layer's input levels — the fc1->fc2 handoff variant
+            # where fc2's MXU time hides the GELU VPU work
+            return _gelu_quant_folded(xx.astype(jnp.float32), act_d[0],
+                                      act_top)
         if prologue == "ln_quant":
             xx = _layernorm_f32(xx, ln_g_ref[:], ln_b_ref[:], ln_eps,
                                 k_real=k_real)
@@ -359,7 +366,7 @@ def fused_quant_matmul(*args, **kw):
                     " as static metadata (e.g. QLayerArtifact.top)") from None
     # a missing/zero top with an active quantizer would silently clip every
     # level to [-0, 0] and emit all-zero int8 output (ADVICE r2 #1)
-    if (kw.get("prologue", "quant") in ("quant", "ln_quant")
+    if (kw.get("prologue", "quant") in ("quant", "ln_quant", "gelu_quant")
             and kw.get("act_d") is not None
             and not (kw.get("act_top") or 0) >= 1):
         raise ValueError(
@@ -426,6 +433,9 @@ def _fused_quant_matmul(
         raise ValueError("residual epilogue requires residual array")
     if epilogue in ("quant", "gelu_quant") and out_d is None:
         raise ValueError(f"{epilogue} epilogue requires out_d/out_t/out_top")
+    if prologue == "gelu_quant" and act_d is None:
+        raise ValueError("gelu_quant prologue requires act_d/act_top (the "
+                         "consumer layer's input quantizer)")
 
     scale = jnp.broadcast_to(jnp.asarray(scale, jnp.float32), (n,))
     has_bias = bias is not None
@@ -511,7 +521,7 @@ def _fused_quant_matmul(
                                      memory_space=pltpu.VMEM))
         operands.append(residual)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
-    if prologue in ("quant", "ln_quant"):
+    if prologue in ("quant", "ln_quant", "gelu_quant"):
         in_specs += [smem(), smem()]
         operands += [jnp.asarray(act_d, jnp.float32).reshape(1),
                      jnp.asarray(act_t, jnp.float32).reshape(1)]
@@ -561,6 +571,304 @@ def _fused_quant_matmul(
 
 
 # ---------------------------------------------------------------------------
+# whole-MLP-block fusion: LN -> quant -> fc1 -> GELU -> quant -> fc2 -> +x
+# ---------------------------------------------------------------------------
+
+
+def _fused_mlp_kernel(*refs, fmt: str, k_half: int, h_half: int, k_real: int,
+                      act_pow: bool, hid_pow: bool, ln_eps: float,
+                      act_top: int, hid_top: int, n_stripes: int,
+                      act_folded: bool, hid_folded: bool):
+    """One transformer-MLP residual branch per program (see fused_mlp).
+
+    Ref order: x, w1, s1, b1, w2, s2, b2, ln_g, ln_b,
+    [smem: act_d, act_t, hid_d, hid_t], o[, w1_lo, w1_hi, w2_lo, w2_hi].
+
+    The hidden tensor lives ONLY in VMEM, one stripe at a time: stripe s's
+    GELU+quant (VPU) overlaps stripe s+1's fc1 dot (MXU), and each stripe's
+    fc2 contribution accumulates into an int32 register block. Per M tile
+    the HBM traffic is x once + out once — the two-kernel path's 2x hidden
+    stream (44 MB/batch-32) and second residual read of x never happen."""
+    it = iter(refs)
+    x_ref = next(it)
+    w1_ref = next(it)
+    s1_ref = next(it)
+    b1_ref = next(it)
+    w2_ref = next(it)
+    s2_ref = next(it)
+    b2_ref = next(it)
+    ln_g_ref = next(it)
+    ln_b_ref = next(it)
+    act_d, act_t = next(it), next(it)
+    hid_d, hid_t = next(it), next(it)
+    o_ref = next(it)
+    w1_lo = w1_hi = w2_lo = w2_hi = None
+    if fmt == "int4":
+        w1_lo, w1_hi = next(it), next(it)
+        w2_lo, w2_hi = next(it), next(it)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _unpack():
+            p1 = w1_ref[:].astype(jnp.int32)
+            w1_lo[:] = ((p1 << 28) >> 28).astype(jnp.int8)
+            w1_hi[:] = (p1 >> 4).astype(jnp.int8)
+            p2 = w2_ref[:].astype(jnp.int32)
+            w2_lo[:] = ((p2 << 28) >> 28).astype(jnp.int8)
+            w2_hi[:] = (p2 >> 4).astype(jnp.int8)
+
+    xx = _layernorm_f32(x_ref[:], ln_g_ref[:], ln_b_ref[:], ln_eps,
+                        k_real=k_real)
+    lv = _quantize_f32(xx, act_d[0], act_t[0], act_top, act_pow,
+                       folded=act_folded)
+
+    hid = (w1_lo if fmt == "int4" else w1_ref).shape[1]
+    sub = hid // n_stripes
+    dn = (((1,), (0,)), ((), ()))
+
+    def dot1(cols):
+        if fmt == "int4":
+            a = jax.lax.dot_general(lv[:, :k_half], w1_lo[:, cols],
+                                    dimension_numbers=dn,
+                                    preferred_element_type=jnp.int32)
+            return a + jax.lax.dot_general(lv[:, k_half:], w1_hi[:, cols],
+                                           dimension_numbers=dn,
+                                           preferred_element_type=jnp.int32)
+        return jax.lax.dot_general(lv, w1_ref[:, cols],
+                                   dimension_numbers=dn,
+                                   preferred_element_type=jnp.int32)
+
+    def hidden_levels(acc1, cols):
+        y = acc1.astype(jnp.float32) * s1_ref[:, cols] + b1_ref[:, cols]
+        if hid_folded:
+            # y holds z = (fc1 out)/sqrt(2): 1/sqrt(2) pre-folded into s1/b1
+            return _gelu_quant_folded(y, hid_d[0], hid_top)
+        return _quantize_f32(_gelu_f32(y), hid_d[0], hid_t[0], hid_top,
+                             hid_pow)
+
+    def dot2(hlv_s, rows):
+        if fmt == "int4":
+            # packing is along the FULL hidden dim: rows [0, H/2) in the
+            # low nibble plane, [H/2, H) in the high plane
+            if rows.stop <= h_half:  # stripe entirely in the low plane
+                return jax.lax.dot_general(
+                    hlv_s, w2_lo[rows, :], dimension_numbers=dn,
+                    preferred_element_type=jnp.int32)
+            if rows.start >= h_half:  # entirely in the high plane
+                hi = slice(rows.start - h_half, rows.stop - h_half)
+                return jax.lax.dot_general(
+                    hlv_s, w2_hi[hi, :], dimension_numbers=dn,
+                    preferred_element_type=jnp.int32)
+            # stripe spans the plane boundary (n_stripes == 1)
+            cut = h_half - rows.start
+            a = jax.lax.dot_general(
+                hlv_s[:, :cut], w2_lo[rows.start:h_half, :],
+                dimension_numbers=dn, preferred_element_type=jnp.int32)
+            return a + jax.lax.dot_general(
+                hlv_s[:, cut:], w2_hi[:rows.stop - h_half, :],
+                dimension_numbers=dn, preferred_element_type=jnp.int32)
+        return jax.lax.dot_general(hlv_s, w2_ref[rows, :],
+                                   dimension_numbers=dn,
+                                   preferred_element_type=jnp.int32)
+
+    cols = [slice(s * sub, (s + 1) * sub) for s in range(n_stripes)]
+    # software pipeline: issue stripe s+1's fc1 dot before stripe s's
+    # GELU+quant so the VPU chain hides under the MXU
+    acc1 = {0: dot1(cols[0])}
+    acc2 = None
+    for s in range(n_stripes):
+        if s + 1 < n_stripes:
+            acc1[s + 1] = dot1(cols[s + 1])
+        hlv_s = hidden_levels(acc1.pop(s), cols[s])
+        c = dot2(hlv_s, cols[s])
+        acc2 = c if acc2 is None else acc2 + c
+
+    out = acc2.astype(jnp.float32) * s2_ref[:] + b2_ref[:]
+    o_ref[:] = (out + x_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def fused_mlp(*args, **kw):
+    """Public entry (top levels must be static ints — see _fused_kernel)."""
+    for k in ("act_top", "hid_top"):
+        v = kw.get(k)
+        if v is not None and not isinstance(v, int):
+            kw[k] = int(v)
+        if not (kw.get(k) or 0) >= 1:
+            raise ValueError(f"fused_mlp: positive {k} required, got "
+                             f"{kw.get(k)!r}")
+    return _fused_mlp(*args, **kw)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fmt", "act_top", "act_pow", "hid_top", "hid_pow",
+                     "ln_eps", "out_dtype", "block_m", "stripes",
+                     "interpret"),
+)
+def _fused_mlp(
+    x: jax.Array,
+    w1: jax.Array, scale1, bias1,
+    w2: jax.Array, scale2, bias2,
+    *,
+    ln_scale, ln_bias, ln_eps: float = 1e-6,
+    act_d=None, act_t=None, act_top=None, act_pow: bool = False,
+    hid_d=None, hid_t=None, hid_top=None, hid_pow: bool = False,
+    fmt: str = "int8",
+    out_dtype=jnp.bfloat16,
+    block_m: int | None = None,
+    stripes: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """x + fc2(quant(GELU(fc1(quant(LN(x)))))) in ONE kernel.
+
+    x: [M, K] float residual stream. w1: [K, H] / w2: [H, K] int8 level
+    weights (fmt='int8') or packed int4 ([K/2, H] / [H/2, K]).
+    scale/bias: fc1 and fc2 dequant vectors. act_*: fc1's input quantizer;
+    hid_*: fc2's input quantizer (applied to GELU output). Requires K, H
+    lane/sublane-aligned (K mult of 128/256, H mult of n_stripes*128) —
+    true for every ViT family member; callers with odd shapes use the
+    two-kernel path.
+    """
+    m, k = x.shape
+    if fmt == "int4":
+        k1, hid = w1.shape[0] * 2, w1.shape[1]
+        h2, n2 = w2.shape[0] * 2, w2.shape[1]
+    else:
+        k1, hid = w1.shape
+        h2, n2 = w2.shape
+    if k1 != k or h2 != hid or n2 != k:
+        raise ValueError(f"MLP shape mismatch: x[{m},{k}] w1[{k1},{hid}] "
+                         f"w2[{h2},{n2}]")
+    align = 256 if fmt == "int4" else 128
+    if k % align or hid % align:
+        raise ValueError(f"fused_mlp needs {align}-aligned dims, got "
+                         f"K={k}, H={hid}")
+
+    scale1 = jnp.broadcast_to(jnp.asarray(scale1, jnp.float32), (hid,))
+    bias1 = (jnp.zeros((hid,), jnp.float32) if bias1 is None
+             else jnp.asarray(bias1, jnp.float32))
+    scale2 = jnp.broadcast_to(jnp.asarray(scale2, jnp.float32), (k,))
+    bias2 = (jnp.zeros((k,), jnp.float32) if bias2 is None
+             else jnp.asarray(bias2, jnp.float32))
+    ln_scale = jnp.asarray(ln_scale, jnp.float32)
+    ln_bias = jnp.asarray(ln_bias, jnp.float32)
+
+    act_folded = not act_pow
+    if act_folded:
+        inv_d = 1.0 / jnp.asarray(act_d, jnp.float32)
+        ln_scale = ln_scale * inv_d
+        ln_bias = ln_bias * inv_d
+    hid_folded = not hid_pow
+    if hid_folded:
+        scale1 = scale1 * jnp.float32(2.0**-0.5)
+        bias1 = bias1 * jnp.float32(2.0**-0.5)
+
+    # VMEM: both weight stripes resident (+unpack scratch for int4), x/out
+    # double-buffered, ~2 f32 stack blocks of [bm, hid/S] + [bm, k].
+    # Sweep on v5e at ViT-B shapes (bm x stripes, chain-timed): 448x8/12 =
+    # 217us, 448x4 = 220, 224x4..12 = 227-230 — more stripes shorten the
+    # exposed GELU tail, bigger row tiles amortize the LN prologue.
+    n_stripes = stripes or (
+        8 if hid % (8 * 128) == 0 else
+        4 if hid % (4 * 128) == 0 else (2 if hid % 256 == 0 else 1))
+    w_bytes = (k * hid + hid * k) * (1.5 if fmt == "int4" else 1)
+    cap = _round_up(m, 32)
+
+    # measured headroom: bm=448 at ViT-B shapes uses ~14 MB and compiles/
+    # runs fine, so this kernel budgets closer to the 16 MB scoped limit
+    # than the analytic-stack-shy _VMEM_BUDGET (Mosaic fails loudly at
+    # compile time if a config overflows, so the risk is a build error,
+    # never silent corruption)
+    budget = 14 * 2**20
+
+    def fits(bm):
+        stream = 2 * (bm * k * x.dtype.itemsize
+                      + bm * k * jnp.dtype(out_dtype).itemsize)
+        stack = bm * k * 4 * 2 + bm * (hid // n_stripes) * 4 * 2
+        return stream + stack + w_bytes <= budget
+
+    bm = block_m or next((c for c in _BLOCK_M_CANDIDATES
+                          if c <= cap and fits(c)), 32)
+    mp = _round_up(m, bm)
+    if mp != m:
+        x = jnp.pad(x, ((0, mp - m), (0, 0)))
+
+    vm = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                    memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((bm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        vm(((k // 2) if fmt == "int4" else k, hid)),
+        vm((1, hid)), vm((1, hid)),
+        vm(((hid // 2) if fmt == "int4" else hid, k)),
+        vm((1, k)), vm((1, k)),
+        vm((1, k)), vm((1, k)),
+    ]
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs += [smem()] * 4
+    operands = [
+        x, w1, scale1[None, :], bias1[None, :], w2, scale2[None, :],
+        bias2[None, :], ln_scale[None, :], ln_bias[None, :],
+        jnp.asarray(act_d, jnp.float32).reshape(1),
+        jnp.asarray(act_t if act_t is not None else 1.0,
+                    jnp.float32).reshape(1),
+        jnp.asarray(hid_d, jnp.float32).reshape(1),
+        jnp.asarray(hid_t if hid_t is not None else 1.0,
+                    jnp.float32).reshape(1),
+    ]
+    scratch = []
+    if fmt == "int4":
+        scratch = [pltpu.VMEM((k // 2, hid), jnp.int8),
+                   pltpu.VMEM((k // 2, hid), jnp.int8),
+                   pltpu.VMEM((hid // 2, k), jnp.int8),
+                   pltpu.VMEM((hid // 2, k), jnp.int8)]
+
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_mlp_kernel, fmt=fmt, k_half=k // 2, h_half=hid // 2,
+            k_real=k, act_pow=act_pow, hid_pow=hid_pow, ln_eps=ln_eps,
+            act_top=act_top, hid_top=hid_top, n_stripes=n_stripes,
+            act_folded=act_folded, hid_folded=hid_folded),
+        grid=(mp // bm,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, k), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, k), out_dtype),
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * hid * k * 2,
+            bytes_accessed=mp * k * (x.dtype.itemsize
+                                     + jnp.dtype(out_dtype).itemsize)
+            + int(w_bytes),
+            transcendentals=mp * hid,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(*operands)
+    if mp != m:
+        out = out[:m]
+    return out
+
+
+def fused_mlp_xla(x, w1, scale1, bias1, w2, scale2, bias2, *,
+                  ln_scale, ln_bias, ln_eps=1e-6,
+                  act_d=None, act_t=None, act_top=None, act_pow=False,
+                  hid_d=None, hid_t=None, hid_top=None, hid_pow=False,
+                  fmt="int8", out_dtype=jnp.bfloat16):
+    """Pure-XLA mirror of :func:`fused_mlp` (identical f32 level math and
+    constant folding, so the paths stay bit-identical)."""
+    hlv = fused_quant_matmul_xla(
+        x, w1, scale1, bias1, fmt=fmt, prologue="ln_quant",
+        act_d=act_d, act_t=act_t, act_top=act_top, act_pow=act_pow,
+        ln_scale=ln_scale, ln_bias=ln_bias, ln_eps=ln_eps,
+        epilogue="gelu_quant", out_d=hid_d, out_t=hid_t, out_top=hid_top,
+        out_pow=hid_pow)
+    return fused_quant_matmul_xla(
+        hlv, w2, scale2, bias2, fmt=fmt, prologue=None,
+        epilogue="residual", residual=x, out_dtype=out_dtype)
+
+
+# ---------------------------------------------------------------------------
 # XLA reference with identical semantics (CPU fallback / parity oracle)
 # ---------------------------------------------------------------------------
 
@@ -596,6 +904,11 @@ def fused_quant_matmul_xla(
 
     if prologue is None:
         lv = x
+    elif prologue == "gelu_quant":
+        # x carries z = y/sqrt(2) from the producer (see the kernel note)
+        lv = _gelu_quant_folded(x.astype(jnp.float32),
+                                jnp.asarray(act_d, jnp.float32),
+                                jnp.asarray(act_top, jnp.int32))
     else:
         xx = x
         if prologue == "ln_quant":

@@ -15,6 +15,11 @@ from .aot import (
     parse_entry_schedule,
     predict_tp_step,
 )
+from .elastic import (
+    elastic_restore,
+    run_with_elastic_recovery,
+    shrink_mesh,
+)
 from .collectives import (
     dp_all_reduce_grads,
     quantized_ring_all_reduce,
@@ -58,6 +63,9 @@ __all__ = [
     "get_topology",
     "parse_entry_schedule",
     "predict_tp_step",
+    "elastic_restore",
+    "run_with_elastic_recovery",
+    "shrink_mesh",
     "dp_all_reduce_grads",
     "quantized_ring_all_reduce",
     "HealthCheckError",

@@ -6,8 +6,10 @@ from .vit_tp import (permute_qkv_entry, prepare_tp_artifact,
                      shard_tp_artifact, tp_artifact_specs,
                      vit_int4_forward_tp)
 from .batching import ContinuousBatcher, MultiHostFrontend
+from .rpc import RpcBackendStub, RpcServingBackend
 
 __all__ = ["export_vit_int4", "vit_int4_forward", "QLayerArtifact",
            "random_vit_int4_artifact", "ContinuousBatcher",
            "MultiHostFrontend", "permute_qkv_entry", "prepare_tp_artifact",
-           "shard_tp_artifact", "tp_artifact_specs", "vit_int4_forward_tp"]
+           "shard_tp_artifact", "tp_artifact_specs", "vit_int4_forward_tp",
+           "RpcBackendStub", "RpcServingBackend"]

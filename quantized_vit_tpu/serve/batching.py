@@ -122,6 +122,11 @@ class ContinuousBatcher:
         self.stats["requests"] += 1
         return fut
 
+    def queue_depth(self) -> int:
+        """Queued (not yet dispatched) requests — the router's load signal.
+        Part of the backend duck-type shared with serve.rpc.RpcBackendStub."""
+        return self._q.qsize()
+
     def warmup(self, example: np.ndarray):
         """Pre-compile every bucket shape so serving never hits a compile."""
         for b in self.buckets:
@@ -211,10 +216,12 @@ class MultiHostFrontend:
     backend owns its replica of the weights and its own
     :class:`ContinuousBatcher`; no inter-backend collective exists (see
     docs/SCALING.md §1). This front-end routes each request to the
-    least-loaded backend (by queued request count), falling back to round
-    robin on ties — the same policy a real deployment runs in its RPC
-    router, with ``backends`` being per-host client stubs instead of
-    in-process batchers.
+    least-loaded backend (by ``queue_depth()``), falling back to round
+    robin on ties. Backends are anything carrying the batcher duck-type
+    (``start/stop/submit/stats/queue_depth``): in-process
+    :class:`ContinuousBatcher` instances OR :class:`~.rpc.RpcBackendStub`
+    clients for per-host serving processes (tests/serve/test_rpc.py
+    drives a real 2-process serve through this seam).
     """
 
     def __init__(self, backends: Sequence["ContinuousBatcher"]):
@@ -241,7 +248,7 @@ class MultiHostFrontend:
 
     def submit(self, image: np.ndarray) -> Future:
         with self._lock:
-            loads = [b._q.qsize() for b in self.backends]
+            loads = [b.queue_depth() for b in self.backends]
             lo = min(loads)
             # least-loaded; round-robin among equally loaded backends
             candidates = [i for i, v in enumerate(loads) if v == lo]
