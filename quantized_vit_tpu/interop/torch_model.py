@@ -25,8 +25,7 @@ this repo owns (torch.onnx.export itself is a stock serializer).
 
 from __future__ import annotations
 
-import math
-from typing import Any, Dict, Mapping, Optional
+from typing import Any, Dict, Mapping
 
 import numpy as np
 

@@ -11,6 +11,7 @@ from .fused import (fused_mlp, fused_mlp_xla, fused_quant_matmul,
                     fused_quant_matmul_xla)
 from .attention import (
     attention_qkv,
+    attention_qkv_proj,
     attention_qkv_xla,
     flash_attention,
     flash_attention_xla,
@@ -28,6 +29,7 @@ __all__ = [
     "fused_mlp",
     "fused_mlp_xla",
     "attention_qkv",
+    "attention_qkv_proj",
     "attention_qkv_xla",
     "flash_attention",
     "flash_attention_xla",

@@ -289,6 +289,193 @@ def _attn_qkv_kernel(x_ref, *rest, heads: int, head_dim: int,
                 o_un / p_sum).astype(o_ref.dtype)
 
 
+def _attn_proj_kernel(x_ref, *rest, heads: int, head_dim: int,
+                      sm_scale: float, n_valid: int, out_pow: bool,
+                      int_attention: bool, out_top: int, j_imgs: int,
+                      fmt: str, has_bias: bool):
+    """attention + PROJECTION fused: the per-head int8 attention levels
+    accumulate in VMEM scratch and the row-parallel proj matmul + dequant
+    + residual run before anything returns to HBM — the [M, D] alv tensor
+    and a kernel launch disappear vs the attention/proj pair
+    (serve/vit_int4.py pipeline). Numerics identical to that pair: same
+    level math, same int8 x int8 proj dot, same f32 dequant+residual.
+
+    Ref order: x(qkv), w, scale, [bias], residual,
+    [smem d, t], o, alv_scratch[, w_lo, w_hi]."""
+    it = iter(rest)
+    w_ref = next(it)
+    scale_ref = next(it)
+    bias_ref = next(it) if has_bias else None
+    res_ref = next(it)
+    d_ref, t_ref = next(it), next(it)
+    o_ref = next(it)
+    alv_ref = next(it)
+    w_lo = w_hi = None
+    if fmt == "int4":
+        w_lo, w_hi = next(it), next(it)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _unpack():
+            p = w_ref[:].astype(jnp.int32)
+            w_lo[:] = ((p << 28) >> 28).astype(jnp.int8)
+            w_hi[:] = (p >> 4).astype(jnp.int8)
+
+    n = x_ref.shape[1]
+    nk = _n_keys(n, n_valid, x_ref.dtype.itemsize)
+    hdim = heads * head_dim
+    col = None
+    if n_valid < nk:
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, nk), dimension=1)
+
+    def qkv_h(j, h):
+        x = x_ref[j]
+        q = x[:, h * head_dim:(h + 1) * head_dim]
+        k = x[:nk, hdim + h * head_dim:hdim + (h + 1) * head_dim]
+        v = x[:nk, 2 * hdim + h * head_dim:2 * hdim + (h + 1) * head_dim]
+        return q, k, v
+
+    tasks = [(j, h) for j in range(j_imgs) for h in range(heads)]
+    q0, k0, v0 = qkv_h(*tasks[0])
+    s_next = _score_one_head(q0, k0, sm_scale, int_attention)
+    v_cur = v0
+    for i, (j, h) in enumerate(tasks):
+        s_cur, v_use = s_next, v_cur
+        if i + 1 < len(tasks):
+            jn, hn = tasks[i + 1]
+            q1, k1, v_cur = qkv_h(jn, hn)
+            s_next = _score_one_head(q1, k1, sm_scale, int_attention)
+        o_un, p_sum = _softmax_av(s_cur, v_use, col, n_valid, int_attention)
+        if not out_pow:
+            lv = jnp.clip(jnp.round(o_un * (1.0 / (p_sum * d_ref[0]))),
+                          -float(out_top), float(out_top))
+            alv_ref[j, :, h * head_dim:(h + 1) * head_dim] = lv.astype(
+                jnp.int8)
+        else:
+            alv_ref[j, :, h * head_dim:(h + 1) * head_dim] = _quantize_f32(
+                o_un / p_sum, d_ref[0], t_ref[0], out_top, out_pow)
+
+    dn = (((1,), (0,)), ((), ()))
+    k_half = hdim // 2
+    for j in range(j_imgs):
+        alv = alv_ref[j]
+        if fmt == "int4":
+            acc = jax.lax.dot_general(
+                alv[:, :k_half], w_lo[:], dimension_numbers=dn,
+                preferred_element_type=jnp.int32)
+            acc += jax.lax.dot_general(
+                alv[:, k_half:], w_hi[:], dimension_numbers=dn,
+                preferred_element_type=jnp.int32)
+        else:
+            acc = jax.lax.dot_general(
+                alv, w_ref[:], dimension_numbers=dn,
+                preferred_element_type=jnp.int32)
+        out = acc.astype(jnp.float32) * scale_ref[:]
+        if has_bias:
+            out = out + bias_ref[:]
+        o_ref[j] = (out + res_ref[j].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def attention_qkv_proj(*args, **kw):
+    """Public entry for the attention+proj fused kernel (see
+    :func:`_attention_qkv_proj`); ``out_top`` must be a positive static
+    int like the other quantize epilogues."""
+    v = kw.get("out_top")
+    if v is not None and not isinstance(v, int):
+        kw["out_top"] = int(v)
+    if not (kw.get("out_top") or 0) >= 1:
+        raise ValueError("attention_qkv_proj: positive out_top required")
+    return _attention_qkv_proj(*args, **kw)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "sm_scale", "n_valid", "out_top", "out_pow",
+                     "out_dtype", "int_attention", "fmt", "interpret"),
+)
+def _attention_qkv_proj(
+    qkv: jax.Array,
+    w: jax.Array,
+    scale,
+    bias,
+    residual: jax.Array,
+    *,
+    heads: int,
+    sm_scale: float,
+    n_valid: int | None = None,
+    out_d=None, out_t=None, out_top=None, out_pow: bool = False,
+    fmt: str = "int8",
+    out_dtype=jnp.bfloat16,
+    int_attention: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """softmax(qk)v quantized to int8 levels, then the proj matmul +
+    dequant + residual — one kernel. qkv: [B, N, 3*H*hd]; w: [H*hd, D]
+    int8 levels (or packed int4 [H*hd/2, D]); residual: [B, N, D].
+    Returns the new residual stream [B, N, D] (out_dtype)."""
+    b, n, three_hdim = qkv.shape
+    head_dim = three_hdim // (3 * heads)
+    hdim = heads * head_dim
+    if n_valid is None:
+        n_valid = n
+    d_out = w.shape[1]
+    if residual.shape != (b, n, d_out):
+        raise ValueError(f"residual {residual.shape} vs (b, n, {d_out})")
+
+    scale = jnp.broadcast_to(jnp.asarray(scale, jnp.float32), (d_out,))
+    has_bias = bias is not None
+
+    j_imgs = 2 if b % 2 == 0 else 1
+    vm = lambda shape, idx: pl.BlockSpec(shape, idx,
+                                         memory_space=pltpu.VMEM)
+    in_specs = [
+        vm((j_imgs, n, three_hdim), lambda i: (i, 0, 0)),
+        vm(((hdim // 2) if fmt == "int4" else hdim, d_out),
+           lambda i: (0, 0)),
+        vm((1, d_out), lambda i: (0, 0)),
+    ]
+    operands = [qkv, w, scale[None, :]]
+    if has_bias:
+        in_specs.append(vm((1, d_out), lambda i: (0, 0)))
+        operands.append(jnp.asarray(bias, jnp.float32)[None, :])
+    in_specs.append(vm((j_imgs, n, d_out), lambda i: (i, 0, 0)))
+    operands.append(residual)
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs += [smem(), smem()]
+    operands += [jnp.asarray(out_d, jnp.float32).reshape(1),
+                 jnp.asarray(out_t if out_t is not None else 1.0,
+                             jnp.float32).reshape(1)]
+
+    scratch = [pltpu.VMEM((j_imgs, n, hdim), jnp.int8)]
+    if fmt == "int4":
+        scratch += [pltpu.VMEM((hdim // 2, d_out), jnp.int8),
+                    pltpu.VMEM((hdim // 2, d_out), jnp.int8)]
+
+    return pl.pallas_call(
+        functools.partial(
+            _attn_proj_kernel, heads=heads, head_dim=head_dim,
+            sm_scale=sm_scale, n_valid=n_valid, out_pow=out_pow,
+            int_attention=int_attention, out_top=out_top, j_imgs=j_imgs,
+            fmt=fmt, has_bias=has_bias),
+        grid=(b // j_imgs,),
+        in_specs=in_specs,
+        out_specs=vm((j_imgs, n, d_out), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, d_out), out_dtype),
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * heads * n * n * head_dim * 2
+            + 2 * b * n * hdim * d_out,
+            bytes_accessed=b * n * three_hdim * qkv.dtype.itemsize
+            + b * n * d_out * (residual.dtype.itemsize
+                               + jnp.dtype(out_dtype).itemsize),
+            transcendentals=b * heads * n * n,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
 def attention_qkv(*args, **kw):
     """Public entry: ``out_top`` must be a compile-time int (clip bounds
     must be immediates in Mosaic — ops/fused.py:_fused_kernel note)."""

@@ -322,17 +322,36 @@ def vit_int4_forward(art, images, cfg: ViTConfig, use_pallas: bool = True,
             prologue="ln_quant",
             ln_scale=blk["norm1"]["scale"], ln_bias=blk["norm1"]["bias"],
         )
-        alv = attn_fn(
-            qkv.reshape(b, n_pad, 3 * heads_i * hd),
-            heads=heads_i, sm_scale=sm_scale, n_valid=n_real,
-            out_d=proj_e.act["d"], out_t=proj_e.act["t"],
-            out_top=proj_e.top, out_pow=proj_e.act_pow,
-            int_attention=int_attention,
-        )
-        x2d = _qmatmul(
-            alv.reshape(b * n_pad, heads_i * hd), proj_e, use_pallas,
-            float_dtype, prologue=None, epilogue="residual", residual=x2d,
-        )
+        if use_pallas:
+            # attention + proj + residual in one kernel: the [M, D] alv
+            # levels stay in VMEM scratch and the proj launch disappears
+            # (ops/attention.py:attention_qkv_proj — same level math as
+            # the attention/proj pair, bitwise-parity-tested)
+            from ..ops import attention_qkv_proj
+
+            x2d = attention_qkv_proj(
+                qkv.reshape(b, n_pad, 3 * heads_i * hd),
+                proj_e.w, proj_e.scale, proj_e.bias,
+                x2d.reshape(b, n_pad, dim),
+                heads=heads_i, sm_scale=sm_scale, n_valid=n_real,
+                out_d=proj_e.act["d"], out_t=proj_e.act["t"],
+                out_top=proj_e.top, out_pow=proj_e.act_pow,
+                fmt=proj_e.fmt, out_dtype=float_dtype,
+                int_attention=int_attention,
+            ).reshape(b * n_pad, dim)
+        else:
+            alv = attn_fn(
+                qkv.reshape(b, n_pad, 3 * heads_i * hd),
+                heads=heads_i, sm_scale=sm_scale, n_valid=n_real,
+                out_d=proj_e.act["d"], out_t=proj_e.act["t"],
+                out_top=proj_e.top, out_pow=proj_e.act_pow,
+                int_attention=int_attention,
+            )
+            x2d = _qmatmul(
+                alv.reshape(b * n_pad, heads_i * hd), proj_e, use_pallas,
+                float_dtype, prologue=None, epilogue="residual",
+                residual=x2d,
+            )
         fc1_e = blk["fc1"]
         hid_dim = (fc1_e.w.shape[1] if fc1_e.fmt != "int4"
                    else fc1_e.w.shape[1])

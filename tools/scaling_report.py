@@ -17,9 +17,10 @@ defect structurally impossible).
 
 Usage: python tools/scaling_report.py [tp_single_chip_ms_batch32]
 Default compute time is the chain-measured TP-path single-chip time
-(5.964 ms/batch-32 on the real v5e chip, mesh 1x1 — see docs/SCALING.md
-provenance note), NOT the fused single-device bench time: the TP path pays
-~0.27 ms for the standalone LN+quant that the single-device path fuses.
+(6.090 ms/batch-32 on the real v5e chip, mesh 1x1, idle box — see
+docs/SCALING.md provenance note), NOT the fused single-device bench time:
+the TP path pays ~1 ms for the standalone LN+quant and shard_map layout
+constraints that the fused single-device path avoids.
 """
 import functools
 import json
@@ -32,10 +33,11 @@ import numpy as np
 
 BATCH_PER_GROUP = 32
 #: chain-measured on the real v5e chip (mesh 1x1, nhwc layout, bf16
-#: residual): tools note in docs/SCALING.md. Override via argv[1].
-TP_SINGLE_CHIP_MS = 5.964
-#: bench.py headline (patches layout, fused path) for the DP section.
-DP_SINGLE_CHIP_MS = 5.354
+#: residual, fused_mlp path, idle box): tools note in docs/SCALING.md.
+#: Override via argv[1].
+TP_SINGLE_CHIP_MS = 6.090
+#: bench.py round-3 headline (patches layout, fused path) for DP.
+DP_SINGLE_CHIP_MS = 5.077
 
 IMG_BYTES = 224 * 224 * 3 * 4
 
@@ -45,7 +47,7 @@ def _fmt_mb(b):
 
 
 def audit_tp_aot(tp: int, dp: int, topo_name: str, compute_s: float,
-                 gspmd: bool = False):
+                 gspmd: bool = False, x_over_model: bool = None):
     """AOT-compile the TP serving forward for a real v5e topology and audit
     the scheduled executable. Returns (summary, prediction, audit)."""
     import jax
@@ -66,9 +68,18 @@ def audit_tp_aot(tp: int, dp: int, topo_name: str, compute_s: float,
     cfg = ViTConfig(num_classes=1000)
     art0 = random_vit_int4_artifact(cfg, seed=0, pack_weights=False)
     batch = BATCH_PER_GROUP * dp
+    # explicit path: batch split over BOTH axes (sequence sharding within
+    # the TP group). GSPMD comparison: batch over 'data' only (replicated
+    # within the TP group) — the tensor-parallel configuration; splitting
+    # the batch over 'model' too makes the partitioner switch to a
+    # weight-gather (FSDP-style) data-parallel strategy instead (audited
+    # separately below).
+    if x_over_model is None:
+        x_over_model = not gspmd
+    x_spec = P(("data", "model")) if x_over_model else P("data")
     x_abs = jax.ShapeDtypeStruct(
         (batch, 224, 224, 3), jnp.float32,
-        sharding=NamedSharding(mesh, P(("data", "model"))))
+        sharding=NamedSharding(mesh, x_spec))
 
     if gspmd:
         from quantized_vit_tpu.parallel.partition import shard_vit_artifact
@@ -152,8 +163,9 @@ def main():
         "",
         "Compute inputs (chain-measured on the real chip, bench.py method):",
         f"fused single-device path {DP_SINGLE_CHIP_MS:.3f} ms/batch-32;",
-        f"TP-path single-chip {tp_ms:.3f} ms/batch-32 (mesh 1x1 — pays",
-        "~0.27 ms for the standalone LN+quant the fused path absorbs).",
+        f"TP-path single-chip {tp_ms:.3f} ms/batch-32 (mesh 1x1 — pays ~1 ms",
+        "for the standalone LN+quant and the shard_map layout constraints",
+        "the fused single-device path avoids).",
         "",
         "## 1. Data-parallel serving (the deployment north star)",
         "",
@@ -225,6 +237,30 @@ def main():
             "  the fused [q|k|v] column split forces resharding around",
             "  attention (all-to-alls + full activation gathers) that the",
             "  head-major shard_map layout eliminates.",
+            "",
+        ]
+        # same rules, but batch ALSO split over 'model': the partitioner
+        # abandons tensor-parallel compute and emits per-layer WEIGHT
+        # all-gathers with data-parallel math (ZeRO-3/FSDP-style)
+        f_summary, f_pred, _ = audit_tp_aot(2, 2, "v5e:2x2",
+                                            DP_SINGLE_CHIP_MS / 1e3,
+                                            gspmd=True, x_over_model=True)
+        f_txt = ", ".join(
+            f"{k}: x{int(v['count'])} ({_fmt_mb(v['bytes'])})"
+            for k, v in sorted(f_summary.items()))
+        lines += [
+            "### Observed: GSPMD weight-gather (FSDP-style) variant",
+            "",
+            "Splitting the batch over BOTH mesh axes flips the",
+            "partitioner's strategy: weights stay sharded, each layer's",
+            "shard is all-gathered on the fly, and compute is pure data",
+            f"parallel — {f_txt},",
+            f"predicted efficiency {f_pred['efficiency']*100:.1f}%"
+            f" ({'meets' if f_pred['efficiency'] >= 0.85 else 'misses'}"
+            " the 85% bar). At 43-86 MB of INT4/8 weights this is strictly",
+            "dominated by pure DP (which replicates the weights and",
+            "communicates nothing), but it is the memory-sharded serving",
+            "option for models that do not fit one chip.",
             "",
         ]
     except Exception as e:  # pragma: no cover
