@@ -183,6 +183,43 @@ def _kernel_parity_check():
         raise AssertionError(
             f"attention_qkv_proj Mosaic != XLA pair: max {dp_.max()}")
 
+    # whole-attention-branch kernel (the serving block's actual path),
+    # both weight formats, vs the equivalent XLA chain
+    from quantized_vit_tpu.ops import attention_block
+
+    xab = jnp.array(rng.standard_normal((2, 64, 256)) * 0.2, jnp.bfloat16)
+    wqa = jnp.array(rng.integers(-7, 8, (256, 3 * 128)), jnp.int8)
+    qba = jnp.array(rng.standard_normal(3 * 128) * 0.01, jnp.float32)
+    ga = jnp.array(rng.standard_normal(256) * 0.1 + 1.0, jnp.float32)
+    bea = jnp.array(rng.standard_normal(256) * 0.01, jnp.float32)
+    wpa = jnp.array(rng.integers(-7, 8, (128, 256)), jnp.int8)
+    bkw = dict(ln_scale=ga, ln_bias=bea, heads=2, sm_scale=0.125,
+               n_valid=50, act_d=jnp.float32(0.05), act_t=jnp.float32(1.0),
+               act_top=127, out_d=jnp.float32(0.05),
+               out_t=jnp.float32(1.0), out_top=7)
+    qkv_w = fused_quant_matmul_xla(
+        xab.reshape(2 * 64, 256), wqa, jnp.float32(1e-3), qba, fmt="int8",
+        prologue="ln_quant", act_d=bkw["act_d"], act_t=bkw["act_t"],
+        act_top=127, ln_scale=ga, ln_bias=bea, out_dtype=jnp.bfloat16)
+    alv_b = attention_qkv_xla(
+        qkv_w.reshape(2, 64, 3 * 128), heads=2, sm_scale=0.125, n_valid=50,
+        out_d=bkw["out_d"], out_t=bkw["out_t"], out_top=7)
+    want_b = np.asarray(fused_quant_matmul_xla(
+        alv_b.reshape(2 * 64, 128), wpa, jnp.float32(2e-3), bp, fmt="int8",
+        prologue=None, epilogue="residual",
+        residual=xab.reshape(2 * 64, 256)), np.float32).reshape(2, 64, 256)
+    for fmt_b, WQ, WP in (
+            ("int8", wqa, wpa),
+            ("int4", pack_int4(wqa, axis=0), pack_int4(wpa, axis=0))):
+        got_b = np.asarray(attention_block(
+            xab, WQ, jnp.float32(1e-3), qba, WP, jnp.float32(2e-3), bp,
+            fmt=fmt_b, **bkw), np.float32)
+        db_ = np.abs(got_b - want_b)
+        if (db_ > 0.1).any() or (db_ > 0).mean() > 0.01:
+            raise AssertionError(
+                f"attention_block({fmt_b}) Mosaic != XLA chain: "
+                f"max {db_.max()}")
+
 
 def main():
     from quantized_vit_tpu.models.vit import ViTConfig
@@ -254,8 +291,12 @@ def main():
 
     # batch-1 latency serving (VERDICT r2 #4): the packed-int4 artifact is
     # kept precisely for this bandwidth-bound regime — measure it there.
+    # 10x the iterations: a ~0.15 ms body over ITERS=30 is only ~4.5 ms of
+    # device time against the ~25 +- 1 ms RPC floor (20% noise); 300
+    # iterations put the signal an order of magnitude above the jitter.
     art_packed = random_vit_int4_artifact(cfg, seed=0, pack_weights=True)
     img1 = images_p[:1]
+    ITERS_B1 = 10 * ITERS
 
     @jax.jit
     def b1_chain(images):
@@ -265,10 +306,11 @@ def main():
                                       float_dtype=jnp.bfloat16,
                                       images_layout="patches")
             return (_poke(imgs, logits[0, 0]), acc + logits[0, 0])
-        _, acc = jax.lax.fori_loop(0, ITERS, body, (images, jnp.float32(0)))
+        _, acc = jax.lax.fori_loop(0, ITERS_B1, body,
+                                   (images, jnp.float32(0)))
         return acc
 
-    dt_b1 = max((_timeit(b1_chain, img1) - floor) / ITERS, 1e-9)
+    dt_b1 = max((_timeit(b1_chain, img1) - floor) / ITERS_B1, 1e-9)
 
     # bf16 baseline: same architecture, plain XLA bf16 matmuls
     import flax

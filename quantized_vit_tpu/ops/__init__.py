@@ -10,6 +10,7 @@ from .int4_matmul import (
 from .fused import (fused_mlp, fused_mlp_xla, fused_quant_matmul,
                     fused_quant_matmul_xla)
 from .attention import (
+    attention_block,
     attention_qkv,
     attention_qkv_proj,
     attention_qkv_xla,
@@ -28,6 +29,7 @@ __all__ = [
     "fused_quant_matmul_xla",
     "fused_mlp",
     "fused_mlp_xla",
+    "attention_block",
     "attention_qkv",
     "attention_qkv_proj",
     "attention_qkv_xla",

@@ -375,6 +375,277 @@ def _attn_proj_kernel(x_ref, *rest, heads: int, head_dim: int,
         o_ref[j] = (out + res_ref[j].astype(jnp.float32)).astype(o_ref.dtype)
 
 
+def _attn_block_kernel(x_ref, *rest, heads: int, head_dim: int,
+                       sm_scale: float, n_valid: int, out_pow: bool,
+                       act_pow: bool, act_folded: bool, int_attention: bool,
+                       act_top: int, out_top: int, j_imgs: int, fmt: str,
+                       has_qb: bool, has_pb: bool, ln_eps: float,
+                       qkv_stripes: int):
+    """The WHOLE attention residual branch in one program:
+
+      lv   = quant(LN(x))            int8  [jn, D]     (x read ONCE)
+      qkv  = lv @ Wqkv -> dequant    bf16  [j, n, 3Hhd] VMEM scratch
+      alv  = per-head softmax(qk)v   int8  [j, n, Hhd]  VMEM scratch
+      out  = alv @ Wproj + bias + x  bf16  [j, n, D]
+
+    vs the qkv-kernel + attention+proj pair this removes the [M, 3D] qkv
+    HBM round trip (66 MB/block at ViT-B batch 32) and a launch; the qkv
+    dot is striped so each stripe's dequant (VPU) hides under the next
+    stripe's dot (MXU). Numerics identical to the chain it replaces.
+
+    Ref order: x, w_qkv, q_scale, [q_bias], ln_g, ln_b, w_proj, p_scale,
+    [p_bias], [smem act_d, act_t, out_d, out_t], o,
+    qkv_scratch, alv_scratch[, unpack scratches]."""
+    it = iter(rest)
+    wq_ref = next(it)
+    qs_ref = next(it)
+    qb_ref = next(it) if has_qb else None
+    ln_g_ref = next(it)
+    ln_b_ref = next(it)
+    wp_ref = next(it)
+    ps_ref = next(it)
+    pb_ref = next(it) if has_pb else None
+    act_d, act_t = next(it), next(it)
+    out_d, out_t = next(it), next(it)
+    o_ref = next(it)
+    qkv_ref = next(it)
+    alv_ref = next(it)
+    wq_lo = wq_hi = wp_lo = wp_hi = None
+    if fmt == "int4":
+        wq_lo, wq_hi = next(it), next(it)
+        wp_lo, wp_hi = next(it), next(it)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _unpack():
+            pq = wq_ref[:].astype(jnp.int32)
+            wq_lo[:] = ((pq << 28) >> 28).astype(jnp.int8)
+            wq_hi[:] = (pq >> 4).astype(jnp.int8)
+            pp = wp_ref[:].astype(jnp.int32)
+            wp_lo[:] = ((pp << 28) >> 28).astype(jnp.int8)
+            wp_hi[:] = (pp >> 4).astype(jnp.int8)
+
+    n = x_ref.shape[1]
+    d_model = x_ref.shape[2]
+    nk = _n_keys(n, n_valid, jnp.dtype(jnp.bfloat16).itemsize)
+    hdim = heads * head_dim
+    three = 3 * hdim
+    jn = j_imgs * n
+
+    from .fused import _layernorm_f32, _quantize_f32 as _qf32
+
+    x2 = x_ref[:].reshape(jn, d_model)
+    xx = _layernorm_f32(x2, ln_g_ref[:], ln_b_ref[:], ln_eps,
+                        k_real=d_model)
+    lv = _qf32(xx, act_d[0], act_t[0], act_top, act_pow, folded=act_folded)
+
+    dn = (((1,), (0,)), ((), ()))
+    d_half = d_model // 2
+    sub = three // qkv_stripes
+
+    def qdot(cols):
+        if fmt == "int4":
+            a = jax.lax.dot_general(lv[:, :d_half], wq_lo[:, cols],
+                                    dimension_numbers=dn,
+                                    preferred_element_type=jnp.int32)
+            return a + jax.lax.dot_general(lv[:, d_half:], wq_hi[:, cols],
+                                           dimension_numbers=dn,
+                                           preferred_element_type=jnp.int32)
+        return jax.lax.dot_general(lv, wq_ref[:, cols],
+                                   dimension_numbers=dn,
+                                   preferred_element_type=jnp.int32)
+
+    cols = [slice(s * sub, (s + 1) * sub) for s in range(qkv_stripes)]
+    accs = {0: qdot(cols[0])}
+    for s in range(qkv_stripes):
+        if s + 1 < qkv_stripes:
+            accs[s + 1] = qdot(cols[s + 1])
+        y = accs.pop(s).astype(jnp.float32) * qs_ref[:, cols[s]]
+        if has_qb:
+            y = y + qb_ref[:, cols[s]]
+        qkv_ref[:, cols[s]] = y.reshape(jn, sub).astype(jnp.bfloat16)
+
+    col = None
+    if n_valid < nk:
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, nk), dimension=1)
+
+    def qkv_h(j, h):
+        x = qkv_ref[j * n:(j + 1) * n]
+        q = x[:, h * head_dim:(h + 1) * head_dim]
+        k = x[:nk, hdim + h * head_dim:hdim + (h + 1) * head_dim]
+        v = x[:nk, 2 * hdim + h * head_dim:2 * hdim + (h + 1) * head_dim]
+        return q, k, v
+
+    tasks = [(j, h) for j in range(j_imgs) for h in range(heads)]
+    q0, k0, v0 = qkv_h(*tasks[0])
+    s_next = _score_one_head(q0, k0, sm_scale, int_attention)
+    v_cur = v0
+    for i, (j, h) in enumerate(tasks):
+        s_cur, v_use = s_next, v_cur
+        if i + 1 < len(tasks):
+            jn_, hn = tasks[i + 1]
+            q1, k1, v_cur = qkv_h(jn_, hn)
+            s_next = _score_one_head(q1, k1, sm_scale, int_attention)
+        o_un, p_sum = _softmax_av(s_cur, v_use, col, n_valid, int_attention)
+        if not out_pow:
+            lvh = jnp.clip(jnp.round(o_un * (1.0 / (p_sum * out_d[0]))),
+                           -float(out_top), float(out_top))
+            alv_ref[j, :, h * head_dim:(h + 1) * head_dim] = lvh.astype(
+                jnp.int8)
+        else:
+            alv_ref[j, :, h * head_dim:(h + 1) * head_dim] = _quantize_f32(
+                o_un / p_sum, out_d[0], out_t[0], out_top, out_pow)
+
+    k_half = hdim // 2
+    for j in range(j_imgs):
+        alv = alv_ref[j]
+        if fmt == "int4":
+            acc = jax.lax.dot_general(alv[:, :k_half], wp_lo[:],
+                                      dimension_numbers=dn,
+                                      preferred_element_type=jnp.int32)
+            acc += jax.lax.dot_general(alv[:, k_half:], wp_hi[:],
+                                       dimension_numbers=dn,
+                                       preferred_element_type=jnp.int32)
+        else:
+            acc = jax.lax.dot_general(alv, wp_ref[:], dimension_numbers=dn,
+                                      preferred_element_type=jnp.int32)
+        out = acc.astype(jnp.float32) * ps_ref[:]
+        if has_pb:
+            out = out + pb_ref[:]
+        o_ref[j] = (out + x_ref[j].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def attention_block(*args, **kw):
+    """Public entry for the whole-attention-branch kernel (see
+    :func:`_attention_block`); top levels must be positive static ints."""
+    for k in ("act_top", "out_top"):
+        v = kw.get(k)
+        if v is not None and not isinstance(v, int):
+            kw[k] = int(v)
+        if not (kw.get(k) or 0) >= 1:
+            raise ValueError(f"attention_block: positive {k} required")
+    return _attention_block(*args, **kw)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "sm_scale", "n_valid", "act_top", "act_pow",
+                     "out_top", "out_pow", "out_dtype", "int_attention",
+                     "fmt", "ln_eps", "interpret"),
+)
+def _attention_block(
+    x: jax.Array,
+    w_qkv: jax.Array, qkv_scale, qkv_bias,
+    w_proj: jax.Array, proj_scale, proj_bias,
+    *,
+    ln_scale, ln_bias, ln_eps: float = 1e-6,
+    heads: int,
+    sm_scale: float,
+    n_valid: int | None = None,
+    act_d=None, act_t=None, act_top=None, act_pow: bool = False,
+    out_d=None, out_t=None, out_top=None, out_pow: bool = False,
+    fmt: str = "int8",
+    out_dtype=jnp.bfloat16,
+    int_attention: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """x + proj(attn(qkv(quant(LN(x))))) in ONE kernel (see
+    :func:`_attn_block_kernel`). x: [B, N, D]; w_qkv: [D, 3*H*hd];
+    w_proj: [H*hd, D] (int8 levels or packed int4). act_*: the qkv
+    layer's input quantizer; out_*: the proj layer's input quantizer
+    (applied to the attention output). Returns [B, N, D]."""
+    b, n, d_model = x.shape
+    three = w_qkv.shape[1]
+    head_dim = three // (3 * heads)
+    hdim = heads * head_dim
+    if n_valid is None:
+        n_valid = n
+
+    qkv_scale = jnp.broadcast_to(jnp.asarray(qkv_scale, jnp.float32),
+                                 (three,))
+    proj_scale = jnp.broadcast_to(jnp.asarray(proj_scale, jnp.float32),
+                                  (d_model,))
+    ln_scale = jnp.asarray(ln_scale, jnp.float32)
+    ln_bias = jnp.asarray(ln_bias, jnp.float32)
+    act_folded = not act_pow
+    if act_folded:
+        inv_d = 1.0 / jnp.asarray(act_d, jnp.float32)
+        ln_scale = ln_scale * inv_d
+        ln_bias = ln_bias * inv_d
+    has_qb = qkv_bias is not None
+    has_pb = proj_bias is not None
+
+    j_imgs = 2 if b % 2 == 0 else 1
+    qkv_stripes = 3 if three % (3 * 128) == 0 else 1
+    vm = lambda shape, idx: pl.BlockSpec(shape, idx,
+                                         memory_space=pltpu.VMEM)
+    in_specs = [
+        vm((j_imgs, n, d_model), lambda i: (i, 0, 0)),
+        vm(((d_model // 2) if fmt == "int4" else d_model, three),
+           lambda i: (0, 0)),
+        vm((1, three), lambda i: (0, 0)),
+    ]
+    operands = [x, w_qkv, qkv_scale[None, :]]
+    if has_qb:
+        in_specs.append(vm((1, three), lambda i: (0, 0)))
+        operands.append(jnp.asarray(qkv_bias, jnp.float32)[None, :])
+    in_specs += [vm((1, d_model), lambda i: (0, 0)),
+                 vm((1, d_model), lambda i: (0, 0))]
+    operands += [ln_scale[None, :], ln_bias[None, :]]
+    in_specs.append(vm(((hdim // 2) if fmt == "int4" else hdim, d_model),
+                       lambda i: (0, 0)))
+    operands.append(w_proj)
+    in_specs.append(vm((1, d_model), lambda i: (0, 0)))
+    operands.append(proj_scale[None, :])
+    if has_pb:
+        in_specs.append(vm((1, d_model), lambda i: (0, 0)))
+        operands.append(jnp.asarray(proj_bias, jnp.float32)[None, :])
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs += [smem()] * 4
+    operands += [
+        jnp.asarray(act_d, jnp.float32).reshape(1),
+        jnp.asarray(act_t if act_t is not None else 1.0,
+                    jnp.float32).reshape(1),
+        jnp.asarray(out_d, jnp.float32).reshape(1),
+        jnp.asarray(out_t if out_t is not None else 1.0,
+                    jnp.float32).reshape(1),
+    ]
+
+    scratch = [pltpu.VMEM((j_imgs * n, three), jnp.bfloat16),
+               pltpu.VMEM((j_imgs, n, hdim), jnp.int8)]
+    if fmt == "int4":
+        scratch += [pltpu.VMEM((d_model // 2, three), jnp.int8),
+                    pltpu.VMEM((d_model // 2, three), jnp.int8),
+                    pltpu.VMEM((hdim // 2, d_model), jnp.int8),
+                    pltpu.VMEM((hdim // 2, d_model), jnp.int8)]
+
+    return pl.pallas_call(
+        functools.partial(
+            _attn_block_kernel, heads=heads, head_dim=head_dim,
+            sm_scale=sm_scale, n_valid=n_valid, out_pow=out_pow,
+            act_pow=act_pow, act_folded=act_folded,
+            int_attention=int_attention, act_top=act_top, out_top=out_top,
+            j_imgs=j_imgs, fmt=fmt, has_qb=has_qb, has_pb=has_pb,
+            ln_eps=ln_eps, qkv_stripes=qkv_stripes),
+        grid=(b // j_imgs,),
+        in_specs=in_specs,
+        out_specs=vm((j_imgs, n, d_model), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, d_model), out_dtype),
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d_model * three
+            + 2 * b * heads * n * n * head_dim * 2
+            + 2 * b * n * hdim * d_model,
+            bytes_accessed=b * n * d_model * (x.dtype.itemsize
+                                              + jnp.dtype(out_dtype).itemsize),
+            transcendentals=b * heads * n * n,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
 def attention_qkv_proj(*args, **kw):
     """Public entry for the attention+proj fused kernel (see
     :func:`_attention_qkv_proj`); ``out_top`` must be a positive static

@@ -317,29 +317,40 @@ def vit_int4_forward(art, images, cfg: ViTConfig, use_pallas: bool = True,
         # width encodes it (N = 3 * heads_i * hd)
         heads_i = blk["qkv"].w.shape[1] // (3 * hd)
 
-        qkv = _qmatmul(
-            x2d, blk["qkv"], use_pallas, float_dtype,
-            prologue="ln_quant",
-            ln_scale=blk["norm1"]["scale"], ln_bias=blk["norm1"]["bias"],
-        )
-        if use_pallas:
-            # attention + proj + residual in one kernel: the [M, D] alv
-            # levels stay in VMEM scratch and the proj launch disappears
-            # (ops/attention.py:attention_qkv_proj — same level math as
-            # the attention/proj pair, bitwise-parity-tested)
-            from ..ops import attention_qkv_proj
+        qkv_e = blk["qkv"]
+        if use_pallas and qkv_e.fmt == proj_e.fmt and b >= 8:
+            # the WHOLE attention residual branch in one kernel — LN ->
+            # quant -> qkv matmul -> per-head softmax -> int8 alv -> proj
+            # -> +x. The [M, 3D] qkv tensor (66 MB/block round trip at
+            # batch 32) and the [M, D] alv tensor never touch HBM
+            # (ops/attention.py:attention_block, bitwise vs the chain;
+            # 179.7 vs 195.7 us/block at batch 32). SMALL batches keep the
+            # qkv-kernel + attention_qkv_proj chain: at batch 1 the block
+            # kernel's single program serializes both weight streams and
+            # measured 0.211 vs 0.153 ms (bench latency_ms_batch1).
+            from ..ops import attention_block
 
-            x2d = attention_qkv_proj(
-                qkv.reshape(b, n_pad, 3 * heads_i * hd),
-                proj_e.w, proj_e.scale, proj_e.bias,
+            x2d = attention_block(
                 x2d.reshape(b, n_pad, dim),
+                qkv_e.w, qkv_e.scale, qkv_e.bias,
+                proj_e.w, proj_e.scale, proj_e.bias,
+                ln_scale=blk["norm1"]["scale"],
+                ln_bias=blk["norm1"]["bias"],
                 heads=heads_i, sm_scale=sm_scale, n_valid=n_real,
+                act_d=qkv_e.act["d"], act_t=qkv_e.act["t"],
+                act_top=qkv_e.top, act_pow=qkv_e.act_pow,
                 out_d=proj_e.act["d"], out_t=proj_e.act["t"],
                 out_top=proj_e.top, out_pow=proj_e.act_pow,
                 fmt=proj_e.fmt, out_dtype=float_dtype,
                 int_attention=int_attention,
             ).reshape(b * n_pad, dim)
         else:
+            qkv = _qmatmul(
+                x2d, qkv_e, use_pallas, float_dtype,
+                prologue="ln_quant",
+                ln_scale=blk["norm1"]["scale"],
+                ln_bias=blk["norm1"]["bias"],
+            )
             alv = attn_fn(
                 qkv.reshape(b, n_pad, 3 * heads_i * hd),
                 heads=heads_i, sm_scale=sm_scale, n_valid=n_real,
