@@ -1,0 +1,101 @@
+"""UltraNet W4A4 all-integer inference throughput on the real chip.
+
+BASELINE.json config 2's model (the reference's FPGA-targeted 4-bit CNN,
+mymodel.py:62-143) served on TPU: the folded-BN integer trunk
+(models/ultranet.py:UltraNetInt — the exact (inc, bias) requantization
+arithmetic the reference's HLS headers encode) at the reference's
+3x160x320 deployment input (ultranet_param_gen.py / torch_export.py:150).
+
+Usage: python tools/bench_ultranet.py [BATCH]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+ITERS = 100
+REPS = 3
+
+
+def _timeit(fn, *args):
+    float(fn(*args))
+    float(fn(*args))
+    ts = []
+    for _ in range(REPS):
+        t0 = time.time()
+        float(fn(*args))
+        ts.append(time.time() - t0)
+    return min(ts)
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    from quantized_vit_tpu.models import UltraNetInt
+
+    model = UltraNetInt()
+    rng = np.random.default_rng(0)
+    x_lv = jnp.asarray(rng.integers(0, 255, (batch, 160, 320, 3)),
+                       jnp.int32)
+    abstract = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0),
+                                                 x_lv[:1]))["params"]
+
+    def rand_param(name, s):
+        if "kernel_int" in name:
+            return jnp.asarray(rng.integers(-7, 8, s.shape), jnp.int32)
+        if "inc" in name:
+            return jnp.asarray(rng.integers(1, 2**12, s.shape), jnp.int32)
+        if "bias_int" in name:
+            return jnp.asarray(rng.integers(-2**14, 2**14, s.shape),
+                               jnp.int32)
+        return jnp.asarray(rng.standard_normal(s.shape), jnp.float32)
+
+    params = {k: rand_param(k, v) for k, v in abstract.items()}
+
+    @jax.jit
+    def empty(x):
+        return jnp.sum(x)
+
+    floor = _timeit(empty, jnp.ones((8,), jnp.float32))
+
+    def _poke(x, s):
+        upd = (s - s + jnp.ones((), jnp.float32)).astype(x.dtype)
+        return jax.lax.dynamic_update_slice(
+            x, upd.reshape((1,) * x.ndim), (0,) * x.ndim)
+
+    @jax.jit
+    def chain(p, xb):
+        def body(i, carry):
+            x, acc = carry
+            io, _raw = model.apply({"params": p}, x)  # yolo_decode pair
+            s = io[0, 0, 0].astype(jnp.float32)
+            return (_poke(x, s), acc + s)
+        _, acc = jax.lax.fori_loop(0, ITERS, body, (xb, jnp.float32(0)))
+        return acc
+
+    dt = max((_timeit(chain, params, x_lv) - floor) / ITERS, 1e-9)
+    ips = batch / dt
+    # MACs at 160x320 (SAME padding, 4 pools): analytic per ultranet.py
+    from quantized_vit_tpu.models.ultranet import ULTRANET_LAYERS
+
+    h, w, cin = 160, 320, 3
+    macs = 0
+    for feat, ks, pool in ULTRANET_LAYERS:
+        macs += h * w * ks * ks * cin * feat
+        cin = feat
+        if pool:
+            h, w = h // 2, w // 2
+    macs += h * w * cin * 36
+    ideal = 2 * macs * batch / 394e12
+    print(f"ultranet int W4A4 batch {batch}: {dt*1e3:.3f} ms/batch -> "
+          f"{ips:.1f} img/s ({dt*1e3/batch:.3f} ms/img; ~{macs/1e6:.0f}M "
+          f"MACs/img — launch/bandwidth-bound at this size, MXU ideal "
+          f"would be {ideal*1e3:.3f} ms/batch)")
+
+
+if __name__ == "__main__":
+    main()
