@@ -514,6 +514,29 @@ def _attn_block_kernel(x_ref, *rest, heads: int, head_dim: int,
         o_ref[j] = (out + x_ref[j].astype(jnp.float32)).astype(o_ref.dtype)
 
 
+def attention_block_fits(n_pad: int, d_model: int, heads: int,
+                         head_dim: int, fmt: str = "int8",
+                         j_imgs: int = 2) -> bool:
+    """Conservative VMEM estimate for :func:`attention_block` at these
+    shapes. ViT-B/L fit comfortably; ViT-H (d=1280, 288 token rows) lands
+    ~17 MB against the 16 MB scoped limit and must use the
+    qkv-kernel + attention_qkv_proj chain instead (measured OOM —
+    docs/PERFORMANCE.md model-family notes)."""
+    hdim = heads * head_dim
+    three = 3 * hdim
+    wf = 1.5 if fmt == "int4" else 1  # packed + unpack scratch
+    jn = j_imgs * n_pad
+    bytes_est = (
+        (d_model * three + hdim * d_model) * wf   # resident weights
+        + jn * three * 2                          # qkv bf16 scratch
+        + jn * hdim                               # alv int8 scratch
+        + 2 * (jn * d_model * 2) * 2              # x/out double-buffered
+        + jn * d_model * 4                        # f32 LN/dequant stack
+        + n_pad * n_pad * 4 * 2                   # score matrices
+    )
+    return bytes_est <= 14 * 2**20
+
+
 def attention_block(*args, **kw):
     """Public entry for the whole-attention-branch kernel (see
     :func:`_attention_block`); top levels must be positive static ints."""

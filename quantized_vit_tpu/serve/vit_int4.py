@@ -318,7 +318,11 @@ def vit_int4_forward(art, images, cfg: ViTConfig, use_pallas: bool = True,
         heads_i = blk["qkv"].w.shape[1] // (3 * hd)
 
         qkv_e = blk["qkv"]
-        if use_pallas and qkv_e.fmt == proj_e.fmt and b >= 8:
+        from ..ops.attention import attention_block_fits
+
+        if (use_pallas and qkv_e.fmt == proj_e.fmt and b >= 8
+                and attention_block_fits(n_pad, dim, heads_i, hd,
+                                         qkv_e.fmt)):
             # the WHOLE attention residual branch in one kernel — LN ->
             # quant -> qkv matmul -> per-head softmax -> int8 alv -> proj
             # -> +x. The [M, 3D] qkv tensor (66 MB/block round trip at
