@@ -553,7 +553,7 @@ def attention_block(*args, **kw):
     jax.jit,
     static_argnames=("heads", "sm_scale", "n_valid", "act_top", "act_pow",
                      "out_top", "out_pow", "out_dtype", "int_attention",
-                     "fmt", "ln_eps", "interpret"),
+                     "fmt", "ln_eps", "qkv_stripes", "interpret"),
 )
 def _attention_block(
     x: jax.Array,
@@ -569,6 +569,7 @@ def _attention_block(
     fmt: str = "int8",
     out_dtype=jnp.bfloat16,
     int_attention: bool = False,
+    qkv_stripes: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """x + proj(attn(qkv(quant(LN(x))))) in ONE kernel (see
@@ -598,7 +599,7 @@ def _attention_block(
     has_pb = proj_bias is not None
 
     j_imgs = 2 if b % 2 == 0 else 1
-    qkv_stripes = 3 if three % (3 * 128) == 0 else 1
+    qkv_stripes = qkv_stripes or (3 if three % (3 * 128) == 0 else 1)
     vm = lambda shape, idx: pl.BlockSpec(shape, idx,
                                          memory_space=pltpu.VMEM)
     in_specs = [
