@@ -426,7 +426,11 @@ def _attn_block_kernel(x_ref, *rest, heads: int, head_dim: int,
 
     n = x_ref.shape[1]
     d_model = x_ref.shape[2]
-    nk = _n_keys(n, n_valid, jnp.dtype(jnp.bfloat16).itemsize)
+    # the qkv scratch dtype follows the caller's float_dtype (ADVICE r3
+    # #2: a hard-coded bf16 scratch silently degraded the f32 strict-
+    # parity route); nk's sublane rounding must match it for bit-parity
+    # with the chain, which sizes nk off the qkv tensor's real dtype
+    nk = _n_keys(n, n_valid, qkv_ref.dtype.itemsize)
     hdim = heads * head_dim
     three = 3 * hdim
     jn = j_imgs * n
@@ -462,7 +466,7 @@ def _attn_block_kernel(x_ref, *rest, heads: int, head_dim: int,
         y = accs.pop(s).astype(jnp.float32) * qs_ref[:, cols[s]]
         if has_qb:
             y = y + qb_ref[:, cols[s]]
-        qkv_ref[:, cols[s]] = y.reshape(jn, sub).astype(jnp.bfloat16)
+        qkv_ref[:, cols[s]] = y.reshape(jn, sub).astype(qkv_ref.dtype)
 
     col = None
     if n_valid < nk:
@@ -516,19 +520,20 @@ def _attn_block_kernel(x_ref, *rest, heads: int, head_dim: int,
 
 def attention_block_fits(n_pad: int, d_model: int, heads: int,
                          head_dim: int, fmt: str = "int8",
-                         j_imgs: int = 2) -> bool:
+                         j_imgs: int = 2, qkv_itemsize: int = 2) -> bool:
     """Conservative VMEM estimate for :func:`attention_block` at these
     shapes. ViT-B/L fit comfortably; ViT-H (d=1280, 288 token rows) lands
     ~17 MB against the 16 MB scoped limit and must use the
     qkv-kernel + attention_qkv_proj chain instead (measured OOM —
-    docs/PERFORMANCE.md model-family notes)."""
+    docs/PERFORMANCE.md model-family notes). ``qkv_itemsize``: bytes per
+    element of the qkv scratch (follows the caller's float_dtype)."""
     hdim = heads * head_dim
     three = 3 * hdim
     wf = 1.5 if fmt == "int4" else 1  # packed + unpack scratch
     jn = j_imgs * n_pad
     bytes_est = (
         (d_model * three + hdim * d_model) * wf   # resident weights
-        + jn * three * 2                          # qkv bf16 scratch
+        + jn * three * qkv_itemsize               # qkv scratch
         + jn * hdim                               # alv int8 scratch
         + 2 * (jn * d_model * 2) * 2              # x/out double-buffered
         + jn * d_model * 4                        # f32 LN/dequant stack
@@ -600,6 +605,12 @@ def _attention_block(
 
     j_imgs = 2 if b % 2 == 0 else 1
     qkv_stripes = qkv_stripes or (3 if three % (3 * 128) == 0 else 1)
+    if three % qkv_stripes:
+        # a non-dividing stripe count would leave the trailing
+        # three % stripes columns of the qkv scratch unwritten and feed
+        # stale VMEM into attention (ADVICE r3 #3)
+        raise ValueError(
+            f"qkv_stripes={qkv_stripes} does not divide qkv width {three}")
     vm = lambda shape, idx: pl.BlockSpec(shape, idx,
                                          memory_space=pltpu.VMEM)
     in_specs = [
@@ -634,7 +645,10 @@ def _attention_block(
                     jnp.float32).reshape(1),
     ]
 
-    scratch = [pltpu.VMEM((j_imgs * n, three), jnp.bfloat16),
+    # qkv scratch in the caller's float_dtype: the chain this kernel
+    # replaces emits qkv in float_dtype, so the f32 strict-parity
+    # configuration must not silently round through bf16 (ADVICE r3 #2)
+    scratch = [pltpu.VMEM((j_imgs * n, three), jnp.dtype(out_dtype)),
                pltpu.VMEM((j_imgs, n, hdim), jnp.int8)]
     if fmt == "int4":
         scratch += [pltpu.VMEM((d_model // 2, three), jnp.int8),

@@ -770,6 +770,11 @@ def _fused_mlp(
     n_stripes = stripes or (
         8 if hid % (8 * 128) == 0 else
         4 if hid % (4 * 128) == 0 else (2 if hid % 256 == 0 else 1))
+    if hid % n_stripes:
+        # a non-dividing stripe count would leave hid % stripes columns of
+        # the hidden activation unwritten -> stale VMEM (ADVICE r3 #3)
+        raise ValueError(
+            f"stripes={n_stripes} does not divide hidden width {hid}")
     w_bytes = (k * hid + hid * k) * (1.5 if fmt == "int4" else 1)
     cap = _round_up(m, 32)
 

@@ -18,8 +18,14 @@ cross-host machinery is request fan-out, which this module provides:
   worker entry point for spawning real serving processes.
 
 Wire format: 8-byte little-endian length + pickled dict. Pickle is an
-internal-trust transport (same deployment, private network) — swap
-``_dump/_load`` for a schema codec at an organizational trust boundary.
+internal-trust transport (same deployment, private network): anyone who
+can reach the port can execute code via a crafted pickle, so the
+internal-trust scope is ENFORCED in code (ADVICE r3 #4) — the server
+refuses to bind a non-loopback host unless ``allow_remote=True``
+(``--allow-remote``) is passed explicitly, and message length is capped
+at ``MAX_MSG_BYTES`` so the 8-byte length field cannot drive huge
+allocations. Swap ``_send_msg/_recv_msg`` for a schema codec (npz /
+flatbuffer) at an organizational trust boundary.
 """
 
 from __future__ import annotations
@@ -36,9 +42,18 @@ import numpy as np
 
 _LEN = struct.Struct("<Q")
 
+# Largest accepted frame: a generous bound for image batches + replies
+# (a batch-256 224^2 f32 tensor is ~154 MB) that still stops a hostile
+# or corrupt length header from driving multi-GB allocations.
+MAX_MSG_BYTES = 1 << 28  # 256 MiB
+
 
 def _send_msg(sock: socket.socket, obj, lock: Optional[threading.Lock] = None):
     payload = pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL)
+    if len(payload) > MAX_MSG_BYTES:
+        raise ValueError(
+            f"RPC message {len(payload)} bytes exceeds MAX_MSG_BYTES "
+            f"{MAX_MSG_BYTES}")
     data = _LEN.pack(len(payload)) + payload
     if lock:
         with lock:
@@ -52,6 +67,11 @@ def _recv_msg(sock: socket.socket):
     if header is None:
         return None
     (n,) = _LEN.unpack(header)
+    if n > MAX_MSG_BYTES:
+        # drop the connection rather than allocate what the header claims
+        raise OSError(
+            f"RPC frame header claims {n} bytes (> MAX_MSG_BYTES "
+            f"{MAX_MSG_BYTES}); closing connection")
     body = _recv_exact(sock, n)
     return None if body is None else pickle.loads(body)
 
@@ -74,7 +94,15 @@ def _recv_exact(sock: socket.socket, n: int) -> Optional[bytes]:
 class RpcServingBackend:
     """Serve a ContinuousBatcher over a TCP socket (one process/host)."""
 
-    def __init__(self, batcher, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, batcher, host: str = "127.0.0.1", port: int = 0,
+                 allow_remote: bool = False):
+        if not allow_remote and host not in ("127.0.0.1", "localhost", "::1"):
+            raise ValueError(
+                f"refusing to bind non-loopback host {host!r}: the pickle "
+                "wire format is internal-trust only (remote code execution "
+                "for anyone who can reach the port). Pass "
+                "allow_remote=True / --allow-remote to opt in explicitly "
+                "on a private network.")
         self.batcher = batcher
         self._srv = socket.create_server((host, port))
         self.port = self._srv.getsockname()[1]
@@ -120,6 +148,15 @@ class RpcServingBackend:
 
     def _serve_conn(self, conn: socket.socket):
         wlock = threading.Lock()
+        try:
+            self._serve_conn_loop(conn, wlock)
+        finally:
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+    def _serve_conn_loop(self, conn: socket.socket, wlock: threading.Lock):
         while not self._stop.is_set():
             try:
                 msg = _recv_msg(conn)
@@ -311,6 +348,10 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="serving worker (RPC backend)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=0)
+    p.add_argument("--allow-remote", action="store_true",
+                   help="allow binding a non-loopback host (the pickle "
+                        "wire format is internal-trust only; see module "
+                        "docstring)")
     p.add_argument("--artifact", default="",
                    help="saved INT4 artifact dir (artifact.vit loader); "
                         "omit with --demo for a synthetic model")
@@ -341,7 +382,8 @@ def main(argv=None):
 
     batcher = ContinuousBatcher(fwd, max_batch=args.max_batch,
                                 max_delay_ms=args.max_delay_ms)
-    backend = RpcServingBackend(batcher, host=args.host, port=args.port)
+    backend = RpcServingBackend(batcher, host=args.host, port=args.port,
+                                allow_remote=args.allow_remote)
     backend.start()
     # announce the bound port for the parent (stdout, single line)
     print(f"RPC_SERVING_PORT={backend.port}", flush=True)

@@ -321,8 +321,9 @@ def vit_int4_forward(art, images, cfg: ViTConfig, use_pallas: bool = True,
         from ..ops.attention import attention_block_fits
 
         if (use_pallas and qkv_e.fmt == proj_e.fmt and b >= 8
-                and attention_block_fits(n_pad, dim, heads_i, hd,
-                                         qkv_e.fmt)):
+                and attention_block_fits(
+                    n_pad, dim, heads_i, hd, qkv_e.fmt,
+                    qkv_itemsize=jnp.dtype(float_dtype).itemsize)):
             # the WHOLE attention residual branch in one kernel — LN ->
             # quant -> qkv matmul -> per-head softmax -> int8 alv -> proj
             # -> +x. The [M, 3D] qkv tensor (66 MB/block round trip at

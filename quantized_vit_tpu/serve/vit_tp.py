@@ -96,9 +96,40 @@ def permute_qkv_entry(e: QLayerArtifact, heads: int, head_dim: int,
     )
 
 
+def repack_row_parallel_entry(e: QLayerArtifact, tp: int) -> QLayerArtifact:
+    """Re-pack a ROW-parallel int4 entry so each 'model'-axis shard's local
+    nibble planes pair the right global rows.
+
+    pack_int4 pairs global rows (k, k + K/2) per byte (quant/packing.py),
+    so naively sharding the packed [K/2, N] array over tp gives shard i
+    packed rows whose lo/hi nibbles decode to global rows
+    [i*K/(2tp), ...) and [K/2 + i*K/(2tp), ...) — NOT the contiguous
+    [i*K/tp, (i+1)*K/tp) block of contraction rows shard i's activations
+    actually cover (ADVICE r3 #1: silently wrong logits for fmt='int4').
+    Fix: unpack, split K into tp contiguous chunks, pack WITHIN each chunk,
+    concatenate — shard i's local unpack then reproduces exactly its own
+    rows in order. int8 entries shard correctly as-is and pass through."""
+    if tp == 1 or e.fmt != "int4":
+        return e
+    from ..quant.packing import pack_int4, unpack_int4
+
+    w_full = unpack_int4(e.w, axis=0)
+    k = w_full.shape[0]
+    if k % (2 * tp):
+        raise ValueError(
+            f"row-parallel int4 repack needs K divisible by 2*tp; "
+            f"got K={k}, tp={tp}")
+    w_new = jnp.concatenate(
+        [pack_int4(c, axis=0) for c in jnp.split(w_full, tp, axis=0)],
+        axis=0)
+    return dataclasses.replace(e, w=w_new)
+
+
 def prepare_tp_artifact(art: Dict[str, Any], cfg: ViTConfig, tp: int):
-    """Single-device serving artifact -> TP-ready artifact (qkv columns
-    permuted head-major for this tp). Everything else is unchanged; the
+    """Single-device serving artifact -> TP-ready artifact: qkv columns
+    permuted head-major for this tp, and the ROW-parallel entries
+    (proj/fc2) re-packed per shard when fmt == 'int4'
+    (:func:`repack_row_parallel_entry`). Everything else is unchanged; the
     sharding itself is applied by :func:`tp_artifact_specs` +
     ``jax.device_put`` or by shard_map's in_specs."""
     hd = cfg.embed_dim // cfg.num_heads
@@ -108,6 +139,8 @@ def prepare_tp_artifact(art: Dict[str, Any], cfg: ViTConfig, tp: int):
         heads = b["qkv"].w.shape[1] // (3 * hd)
         nb = dict(b)
         nb["qkv"] = permute_qkv_entry(b["qkv"], heads, hd, tp)
+        nb["proj"] = repack_row_parallel_entry(b["proj"], tp)
+        nb["fc2"] = repack_row_parallel_entry(b["fc2"], tp)
         out["blocks"].append(nb)
     return out
 

@@ -113,6 +113,64 @@ def test_qkv_stripes_override_is_numerics_invariant():
     np.testing.assert_array_equal(outs[0], outs[2])
 
 
+def test_attention_block_f32_matches_f32_chain():
+    """float_dtype=f32 (strict-parity config): the qkv scratch must carry
+    f32, not a silently-rounding bf16 (ADVICE r3 #2). The chain reference
+    here runs entirely in f32 so a bf16 scratch would show up as a level
+    flip / logit deviation beyond fma ulps."""
+    m = _mk()
+    m["x"] = m["x"].astype(jnp.float32)
+    x2 = m["x"].reshape(m["b"] * m["n"], m["d"])
+    qkv = fused_quant_matmul_xla(
+        x2, m["wq"], jnp.float32(1e-3), m["qb"], fmt="int8",
+        prologue="ln_quant", act_d=jnp.float32(0.05),
+        act_t=jnp.float32(1.0), act_top=127, ln_scale=m["g"],
+        ln_bias=m["be"], out_dtype=jnp.float32)
+    alv = attention_qkv_xla(
+        qkv.reshape(m["b"], m["n"], m["three"]), heads=m["heads"],
+        sm_scale=0.18, n_valid=29, out_d=jnp.float32(0.06),
+        out_t=jnp.float32(1.0), out_top=31)
+    want = np.asarray(fused_quant_matmul_xla(
+        alv.reshape(m["b"] * m["n"], m["heads"] * m["hd"]), m["wp"],
+        jnp.float32(2e-3), m["pb"], fmt="int8", prologue=None,
+        epilogue="residual", residual=x2, out_dtype=jnp.float32),
+        np.float32).reshape(m["b"], m["n"], m["d"])
+    got = np.asarray(_attention_block(
+        m["x"], m["wq"], jnp.float32(1e-3), m["qb"], m["wp"],
+        jnp.float32(2e-3), m["pb"], fmt="int8", interpret=True,
+        out_dtype=jnp.float32, ln_scale=m["g"], ln_bias=m["be"],
+        heads=m["heads"], sm_scale=0.18, n_valid=29,
+        act_d=jnp.float32(0.05), act_t=jnp.float32(1.0), act_top=127,
+        out_d=jnp.float32(0.06), out_t=jnp.float32(1.0), out_top=31),
+        np.float32)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+
+
+def test_stripes_must_divide():
+    """A stripe override that does not divide the striped width must raise,
+    not silently leave stale VMEM columns (ADVICE r3 #3)."""
+    m = _mk()
+    with pytest.raises(ValueError, match="stripes"):
+        _attention_block(
+            m["x"], m["wq"], jnp.float32(1e-3), m["qb"], m["wp"],
+            jnp.float32(2e-3), m["pb"], fmt="int8", interpret=True,
+            qkv_stripes=5, ln_scale=m["g"], ln_bias=m["be"],
+            heads=m["heads"], sm_scale=0.18, n_valid=29,
+            act_d=jnp.float32(0.05), act_t=jnp.float32(1.0), act_top=127,
+            out_d=jnp.float32(0.06), out_t=jnp.float32(1.0), out_top=31)
+    from quantized_vit_tpu.ops import fused_mlp
+
+    with pytest.raises(ValueError, match="stripes"):
+        fused_mlp(
+            jnp.zeros((32, 128), jnp.bfloat16),
+            jnp.zeros((128, 384), jnp.int8), jnp.float32(1e-3), None,
+            jnp.zeros((384, 128), jnp.int8), jnp.float32(1e-3), None,
+            ln_scale=jnp.ones(128), ln_bias=jnp.zeros(128),
+            act_d=jnp.float32(0.05), act_top=127,
+            hid_d=jnp.float32(0.06), hid_top=31,
+            fmt="int8", stripes=5, interpret=True)
+
+
 def test_guards_and_fit_routing():
     with pytest.raises(ValueError, match="out_top"):
         attention_qkv_proj(jnp.zeros((2, 32, 384), jnp.bfloat16),
