@@ -247,6 +247,112 @@ def _embed_tokens(art, images, cfg: ViTConfig, use_pallas: bool,
     return x2d, n_pad, dim
 
 
+def _vit_block(x2d, blk, *, b: int, n_pad: int, n_real: int, dim: int,
+               hd: int, sm_scale: float, use_pallas: bool, float_dtype,
+               int_attention: bool):
+    """One transformer block of the serving forward (attention branch +
+    MLP branch, both with the fused-kernel routing). Shared by the
+    single-device forward and the FSDP weight-gather forward
+    (serve/vit_fsdp.py), which runs it per device on gathered weights."""
+    proj_e = blk["proj"]
+    fc2_e = blk["fc2"]
+    # heads may differ per block in GETA-compressed subnets; the qkv
+    # width encodes it (N = 3 * heads_i * hd)
+    heads_i = blk["qkv"].w.shape[1] // (3 * hd)
+
+    qkv_e = blk["qkv"]
+    from ..ops.attention import attention_block_fits
+
+    attn_fn = attention_qkv if use_pallas else attention_qkv_xla
+    if (use_pallas and qkv_e.fmt == proj_e.fmt and b >= 8
+            and attention_block_fits(
+                n_pad, dim, heads_i, hd, qkv_e.fmt,
+                qkv_itemsize=jnp.dtype(float_dtype).itemsize)):
+        # the WHOLE attention residual branch in one kernel — LN ->
+        # quant -> qkv matmul -> per-head softmax -> int8 alv -> proj
+        # -> +x. The [M, 3D] qkv tensor (66 MB/block round trip at
+        # batch 32) and the [M, D] alv tensor never touch HBM
+        # (ops/attention.py:attention_block, bitwise vs the chain;
+        # 179.7 vs 195.7 us/block at batch 32). SMALL batches keep the
+        # qkv-kernel + attention_qkv_proj chain: at batch 1 the block
+        # kernel's single program serializes both weight streams and
+        # measured 0.211 vs 0.153 ms (bench latency_ms_batch1).
+        from ..ops import attention_block
+
+        x2d = attention_block(
+            x2d.reshape(b, n_pad, dim),
+            qkv_e.w, qkv_e.scale, qkv_e.bias,
+            proj_e.w, proj_e.scale, proj_e.bias,
+            ln_scale=blk["norm1"]["scale"],
+            ln_bias=blk["norm1"]["bias"],
+            heads=heads_i, sm_scale=sm_scale, n_valid=n_real,
+            act_d=qkv_e.act["d"], act_t=qkv_e.act["t"],
+            act_top=qkv_e.top, act_pow=qkv_e.act_pow,
+            out_d=proj_e.act["d"], out_t=proj_e.act["t"],
+            out_top=proj_e.top, out_pow=proj_e.act_pow,
+            fmt=proj_e.fmt, out_dtype=float_dtype,
+            int_attention=int_attention,
+        ).reshape(b * n_pad, dim)
+    else:
+        qkv = _qmatmul(
+            x2d, qkv_e, use_pallas, float_dtype,
+            prologue="ln_quant",
+            ln_scale=blk["norm1"]["scale"],
+            ln_bias=blk["norm1"]["bias"],
+        )
+        alv = attn_fn(
+            qkv.reshape(b, n_pad, 3 * heads_i * hd),
+            heads=heads_i, sm_scale=sm_scale, n_valid=n_real,
+            out_d=proj_e.act["d"], out_t=proj_e.act["t"],
+            out_top=proj_e.top, out_pow=proj_e.act_pow,
+            int_attention=int_attention,
+        )
+        x2d = _qmatmul(
+            alv.reshape(b * n_pad, heads_i * hd), proj_e, use_pallas,
+            float_dtype, prologue=None, epilogue="residual",
+            residual=x2d,
+        )
+    fc1_e = blk["fc1"]
+    hid_dim = fc1_e.w.shape[1]
+    mlp_fusable = (use_pallas and fc1_e.fmt == fc2_e.fmt
+                   and x2d.shape[1] % (256 if fc1_e.fmt == "int4"
+                                       else 128) == 0
+                   and hid_dim % (256 if fc1_e.fmt == "int4"
+                                  else 128) == 0)
+    if mlp_fusable:
+        # whole-MLP-block kernel: the [M, hidden] tensor never touches
+        # HBM and x is read once (ops/fused.py:fused_mlp — fc1 VPU
+        # epilogue overlapped under fc2's stripe dots; replaces the
+        # fc1/fc2 kernel pair, -40us/block measured on v5e)
+        from ..ops import fused_mlp
+
+        x2d = fused_mlp(
+            x2d, fc1_e.w, fc1_e.scale, fc1_e.bias,
+            fc2_e.w, fc2_e.scale, fc2_e.bias,
+            ln_scale=blk["norm2"]["scale"],
+            ln_bias=blk["norm2"]["bias"],
+            act_d=fc1_e.act["d"], act_t=fc1_e.act["t"],
+            act_top=fc1_e.top, act_pow=fc1_e.act_pow,
+            hid_d=fc2_e.act["d"], hid_t=fc2_e.act["t"],
+            hid_top=fc2_e.top, hid_pow=fc2_e.act_pow,
+            fmt=fc1_e.fmt, out_dtype=float_dtype,
+        )
+    else:
+        hlv = _qmatmul(
+            x2d, fc1_e, use_pallas, float_dtype,
+            prologue="ln_quant",
+            ln_scale=blk["norm2"]["scale"], ln_bias=blk["norm2"]["bias"],
+            epilogue="gelu_quant",
+            out_d=fc2_e.act["d"], out_t=fc2_e.act["t"],
+            out_top=fc2_e.top, out_pow=fc2_e.act_pow,
+        )
+        x2d = _qmatmul(
+            hlv, fc2_e, use_pallas, float_dtype,
+            prologue=None, epilogue="residual", residual=x2d,
+        )
+    return x2d
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "use_pallas", "float_dtype", "int_attention",
@@ -283,8 +389,6 @@ def vit_int4_forward(art, images, cfg: ViTConfig, use_pallas: bool = True,
     flip between the two.
     """
     b = images.shape[0]
-    mm = fused_quant_matmul if use_pallas else fused_quant_matmul_xla
-    attn_fn = attention_qkv if use_pallas else attention_qkv_xla
 
     # Patch embed as a bf16 LEVEL conv: quantize the image to integer
     # levels elementwise (layout-free), then run XLA's native strided conv
@@ -311,102 +415,10 @@ def vit_int4_forward(art, images, cfg: ViTConfig, use_pallas: bool = True,
     sm_scale = cfg.qk_scale if cfg.qk_scale is not None else hd**-0.5
 
     for blk in art["blocks"]:
-        proj_e = blk["proj"]
-        fc2_e = blk["fc2"]
-        # heads may differ per block in GETA-compressed subnets; the qkv
-        # width encodes it (N = 3 * heads_i * hd)
-        heads_i = blk["qkv"].w.shape[1] // (3 * hd)
-
-        qkv_e = blk["qkv"]
-        from ..ops.attention import attention_block_fits
-
-        if (use_pallas and qkv_e.fmt == proj_e.fmt and b >= 8
-                and attention_block_fits(
-                    n_pad, dim, heads_i, hd, qkv_e.fmt,
-                    qkv_itemsize=jnp.dtype(float_dtype).itemsize)):
-            # the WHOLE attention residual branch in one kernel — LN ->
-            # quant -> qkv matmul -> per-head softmax -> int8 alv -> proj
-            # -> +x. The [M, 3D] qkv tensor (66 MB/block round trip at
-            # batch 32) and the [M, D] alv tensor never touch HBM
-            # (ops/attention.py:attention_block, bitwise vs the chain;
-            # 179.7 vs 195.7 us/block at batch 32). SMALL batches keep the
-            # qkv-kernel + attention_qkv_proj chain: at batch 1 the block
-            # kernel's single program serializes both weight streams and
-            # measured 0.211 vs 0.153 ms (bench latency_ms_batch1).
-            from ..ops import attention_block
-
-            x2d = attention_block(
-                x2d.reshape(b, n_pad, dim),
-                qkv_e.w, qkv_e.scale, qkv_e.bias,
-                proj_e.w, proj_e.scale, proj_e.bias,
-                ln_scale=blk["norm1"]["scale"],
-                ln_bias=blk["norm1"]["bias"],
-                heads=heads_i, sm_scale=sm_scale, n_valid=n_real,
-                act_d=qkv_e.act["d"], act_t=qkv_e.act["t"],
-                act_top=qkv_e.top, act_pow=qkv_e.act_pow,
-                out_d=proj_e.act["d"], out_t=proj_e.act["t"],
-                out_top=proj_e.top, out_pow=proj_e.act_pow,
-                fmt=proj_e.fmt, out_dtype=float_dtype,
-                int_attention=int_attention,
-            ).reshape(b * n_pad, dim)
-        else:
-            qkv = _qmatmul(
-                x2d, qkv_e, use_pallas, float_dtype,
-                prologue="ln_quant",
-                ln_scale=blk["norm1"]["scale"],
-                ln_bias=blk["norm1"]["bias"],
-            )
-            alv = attn_fn(
-                qkv.reshape(b, n_pad, 3 * heads_i * hd),
-                heads=heads_i, sm_scale=sm_scale, n_valid=n_real,
-                out_d=proj_e.act["d"], out_t=proj_e.act["t"],
-                out_top=proj_e.top, out_pow=proj_e.act_pow,
-                int_attention=int_attention,
-            )
-            x2d = _qmatmul(
-                alv.reshape(b * n_pad, heads_i * hd), proj_e, use_pallas,
-                float_dtype, prologue=None, epilogue="residual",
-                residual=x2d,
-            )
-        fc1_e = blk["fc1"]
-        hid_dim = (fc1_e.w.shape[1] if fc1_e.fmt != "int4"
-                   else fc1_e.w.shape[1])
-        mlp_fusable = (use_pallas and fc1_e.fmt == fc2_e.fmt
-                       and x2d.shape[1] % (256 if fc1_e.fmt == "int4"
-                                           else 128) == 0
-                       and hid_dim % (256 if fc1_e.fmt == "int4"
-                                      else 128) == 0)
-        if mlp_fusable:
-            # whole-MLP-block kernel: the [M, hidden] tensor never touches
-            # HBM and x is read once (ops/fused.py:fused_mlp — fc1 VPU
-            # epilogue overlapped under fc2's stripe dots; replaces the
-            # fc1/fc2 kernel pair, -40us/block measured on v5e)
-            from ..ops import fused_mlp
-
-            x2d = fused_mlp(
-                x2d, fc1_e.w, fc1_e.scale, fc1_e.bias,
-                fc2_e.w, fc2_e.scale, fc2_e.bias,
-                ln_scale=blk["norm2"]["scale"],
-                ln_bias=blk["norm2"]["bias"],
-                act_d=fc1_e.act["d"], act_t=fc1_e.act["t"],
-                act_top=fc1_e.top, act_pow=fc1_e.act_pow,
-                hid_d=fc2_e.act["d"], hid_t=fc2_e.act["t"],
-                hid_top=fc2_e.top, hid_pow=fc2_e.act_pow,
-                fmt=fc1_e.fmt, out_dtype=float_dtype,
-            )
-        else:
-            hlv = _qmatmul(
-                x2d, fc1_e, use_pallas, float_dtype,
-                prologue="ln_quant",
-                ln_scale=blk["norm2"]["scale"], ln_bias=blk["norm2"]["bias"],
-                epilogue="gelu_quant",
-                out_d=fc2_e.act["d"], out_t=fc2_e.act["t"],
-                out_top=fc2_e.top, out_pow=fc2_e.act_pow,
-            )
-            x2d = _qmatmul(
-                hlv, fc2_e, use_pallas, float_dtype,
-                prologue=None, epilogue="residual", residual=x2d,
-            )
+        x2d = _vit_block(x2d, blk, b=b, n_pad=n_pad, n_real=n_real,
+                         dim=dim, hd=hd, sm_scale=sm_scale,
+                         use_pallas=use_pallas, float_dtype=float_dtype,
+                         int_attention=int_attention)
 
     x = x2d.reshape(b, n_pad, dim)[:, n_real - 1]  # cls row (last real row)
     x = _layernorm(x, art["norm"]).astype(jnp.float32)

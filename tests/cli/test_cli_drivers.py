@@ -165,6 +165,105 @@ def test_eval_driver_on_torch_checkpoint(tmp_path):
     assert res["samples"] > 0
 
 
+@pytest.fixture(scope="module")
+def served_artifact(train_run, tmp_path_factory):
+    from quantized_vit_tpu.cli.export import main
+
+    out, _ = train_run
+    art_dir = str(tmp_path_factory.mktemp("serve_art") / "vit_art")
+    main(["vit", "--model", "vit_tiny_test",
+          "--checkpoint", os.path.join(out, "final"),
+          "--out", art_dir, "--img-size", "16", "--num-classes", "4"])
+    return art_dir
+
+
+def test_serve_cli_mesh_tp_routes_to_audited_shard_map_path(served_artifact):
+    """--mesh-model N must serve through the explicit shard_map TP path
+    (vit_int4_forward_tp), NOT the GSPMD loader placement the audit
+    measures at 26.9% (VERDICT r3 weak #1). Pins the collective schedule
+    of the function the CLI actually builds: exactly 2 all-gathers + 2
+    reduce-scatters per block, int8 gathers, no all-to-all."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from quantized_vit_tpu.cli.serve import build_forward, parse_args
+    from quantized_vit_tpu.parallel import collective_stats, summarize
+    from quantized_vit_tpu.serve.vit_tp import vit_int4_forward_tp
+
+    args = parse_args(["--artifact", served_artifact, "--mesh-model", "2",
+                       "--max-batch", "8"])
+    forward, cfg, buckets = build_forward(args)
+    assert forward.fwd_fn is vit_int4_forward_tp
+    assert all(b % 2 == 0 for b in buckets), buckets
+
+    # the CLI actually serves: end-to-end rows through the closure
+    imgs = np.random.default_rng(0).standard_normal(
+        (4, cfg.img_size, cfg.img_size, 3)).astype(np.float32)
+    logits = forward(imgs)
+    assert logits.shape == (4, cfg.num_classes)
+    assert np.isfinite(logits).all()
+
+    # collective schedule of the served function (CPU mesh lowering)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    x = jax.device_put(
+        jnp.zeros((8, (cfg.img_size // cfg.patch_size) ** 2,
+                   cfg.patch_size ** 2 * 3), jnp.float32),
+        NamedSharding(forward.mesh, P(("data", "model"))))
+    fn = jax.jit(functools.partial(
+        vit_int4_forward_tp, cfg=cfg, mesh=forward.mesh, use_pallas=False,
+        float_dtype=jnp.bfloat16, images_layout="patches"))
+    with forward.mesh:
+        ops = collective_stats(fn, forward.artifact, x)
+    s = summarize(ops)
+    assert s.get("all-gather", {}).get("count", 0) == 2 * cfg.depth, s
+    assert s.get("reduce-scatter", {}).get("count", 0) == 2 * cfg.depth, s
+    assert "all-to-all" not in s, s
+
+
+def test_serve_cli_mesh_fsdp_routes_to_weight_gather_path(served_artifact):
+    """--mesh-mode fsdp serves through the weight-gather forward: 4 weight
+    all-gathers per block, no reduce-scatter (pure-DP compute)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from quantized_vit_tpu.cli.serve import build_forward, parse_args
+    from quantized_vit_tpu.parallel import collective_stats, summarize
+    from quantized_vit_tpu.serve.vit_fsdp import vit_int4_forward_fsdp
+
+    args = parse_args(["--artifact", served_artifact, "--mesh-model", "2",
+                       "--mesh-mode", "fsdp", "--max-batch", "8"])
+    forward, cfg, buckets = build_forward(args)
+    assert forward.fwd_fn is vit_int4_forward_fsdp
+
+    imgs = np.random.default_rng(1).standard_normal(
+        (4, cfg.img_size, cfg.img_size, 3)).astype(np.float32)
+    logits = forward(imgs)
+    assert logits.shape == (4, cfg.num_classes)
+    assert np.isfinite(logits).all()
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    x = jax.device_put(
+        jnp.zeros((8, (cfg.img_size // cfg.patch_size) ** 2,
+                   cfg.patch_size ** 2 * 3), jnp.float32),
+        NamedSharding(forward.mesh, P(("data", "model"))))
+    fn = jax.jit(functools.partial(
+        vit_int4_forward_fsdp, cfg=cfg, mesh=forward.mesh,
+        use_pallas=False, float_dtype=jnp.bfloat16,
+        images_layout="patches"))
+    with forward.mesh:
+        ops = collective_stats(fn, forward.artifact, x)
+    s = summarize(ops)
+    assert s.get("all-gather", {}).get("count", 0) == 4 * cfg.depth, s
+    assert "reduce-scatter" not in s, s
+    assert "all-reduce" not in s, s
+
+
 def test_export_driver_ultranet_torch_checkpoint(tmp_path):
     """The reference's ultranet_4w4a.pt exports straight to the integer
     artifact (the torch_export.py -> ultranet_param_gen.py flow in one)."""

