@@ -1,0 +1,184 @@
+"""On-chip end-to-end accuracy: the REAL Pallas serving pipeline's top-1.
+
+VERDICT r3 missing #2: every accuracy assertion ran the XLA mirrors on CPU
+(use_pallas=False); the composed claim "the serving pipeline the chip
+actually runs reproduces fake-quant top-1" had never been measured as one
+number on the TPU. This tool produces it, mirroring the reference's
+RESULT_TEST.py:36-109 (which evaluates its deployed artifact directly):
+
+1. **train** (CPU subprocess): the accuracy rehearsal's exact recipe
+   (tests/serve/test_accuracy_e2e.py — float pretrain -> GETA QAT via the
+   real train CLI; plus the pruned leg: sparsity 0.3 -> construct_subnet).
+2. **eval** (this process, real TPU): fake-quant forward, INT serving
+   forward with use_pallas=True (compiled Mosaic kernels: attention_block
+   / fused_mlp / fused_quant_matmul routes), and the packed-int4 variant,
+   all on the chip; assert |top-1 delta| <= 0.1% (the BASELINE.md bound).
+
+Writes docs/ACCURACY_ON_CHIP.json; docs/PARITY.md cites it.
+
+Usage (on the TPU box):  python tools/accuracy_on_chip.py
+Re-eval an existing training dir: ... --train-dir <dir>
+"""
+
+import argparse
+import json
+import os
+import pickle
+import subprocess
+import sys
+import tempfile
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+import numpy as np
+
+_TRAIN_SNIPPET = r"""
+import sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import pathlib, pickle
+import tests.serve.test_accuracy_e2e as r
+
+root = pathlib.Path({root!r})
+for name, sparsity in (("dense", 0.0), ("pruned", 0.3)):
+    d = root / name
+    d.mkdir(parents=True, exist_ok=True)
+    out, te_x, te_y = r._train(d, sparsity=sparsity)
+    with open(d / "eval_set.pkl", "wb") as f:
+        pickle.dump({{"out": out, "te_x": te_x, "te_y": te_y}}, f)
+print("TRAIN_DONE")
+"""
+
+
+def _train_on_cpu(root: str):
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=_REPO + os.pathsep + os.environ.get(
+                   "PYTHONPATH", ""))
+    code = _TRAIN_SNIPPET.format(repo=_REPO, root=root)
+    proc = subprocess.run([sys.executable, "-c", code], env=env, cwd=_REPO,
+                          capture_output=True, text=True)
+    if "TRAIN_DONE" not in proc.stdout:
+        raise RuntimeError(
+            f"CPU training subprocess failed:\n{proc.stdout[-2000:]}\n"
+            f"{proc.stderr[-4000:]}")
+
+
+def _top1(logits, labels):
+    return float((np.argmax(logits, -1) == labels).mean())
+
+
+def _batched(fn, x, bs=250):
+    import jax.numpy as jnp
+
+    return np.concatenate(
+        [np.asarray(fn(jnp.asarray(x[i:i + bs])))
+         for i in range(0, len(x), bs)], 0)
+
+
+def _eval_leg(leg_dir: str, pruned: bool):
+    import jax
+
+    from quantized_vit_tpu.serve import export_vit_int4, vit_int4_forward
+
+    with open(os.path.join(leg_dir, "eval_set.pkl"), "rb") as f:
+        blob = pickle.load(f)
+    out, te_x, te_y = blob["out"], blob["te_x"], blob["te_y"]
+
+    if pruned:
+        from quantized_vit_tpu.cli._common import load_params_any
+        from quantized_vit_tpu.cli.eval import vit_config_from_dict
+        from quantized_vit_tpu.models.vit import VisionTransformer
+
+        params, _, extra = load_params_any(os.path.join(out, "compressed"))
+        cfg = vit_config_from_dict(extra["subnet"])
+        model = VisionTransformer(cfg)
+    else:
+        from quantized_vit_tpu.cli.eval import load_model_for_eval
+
+        class A:
+            checkpoint = os.path.join(out, "final")
+            model = "vit_small_test"
+            img_size = 32
+            num_classes = 10
+            fp32 = False
+
+        model, params = load_model_for_eval(A)
+        cfg = model.cfg
+
+    assert jax.default_backend() == "tpu", (
+        "this tool exists to measure the CHIP; run it on the TPU box")
+
+    top1_fake = _top1(_batched(
+        lambda xb: model.apply({"params": params}, xb), te_x), te_y)
+
+    art = export_vit_int4(cfg, params, pack_weights=False)
+    top1_pallas = _top1(_batched(
+        lambda xb: vit_int4_forward(art, xb, cfg, use_pallas=True), te_x),
+        te_y)
+
+    art_packed = export_vit_int4(cfg, params, pack_weights=True)
+    top1_packed = _top1(_batched(
+        lambda xb: vit_int4_forward(art_packed, xb, cfg, use_pallas=True),
+        te_x), te_y)
+
+    # serving configuration: bf16 residual stream (the bench headline path)
+    import jax.numpy as jnp
+
+    top1_bf16 = _top1(_batched(
+        lambda xb: vit_int4_forward(art, xb, cfg, use_pallas=True,
+                                    float_dtype=jnp.bfloat16), te_x), te_y)
+
+    res = {
+        "samples": len(te_y),
+        "top1_fake_quant": top1_fake,
+        "top1_pallas_int": top1_pallas,
+        "top1_pallas_int_packed": top1_packed,
+        "top1_pallas_int_bf16_residual": top1_bf16,
+        "delta_pallas": abs(top1_pallas - top1_fake),
+        "delta_packed": abs(top1_packed - top1_fake),
+        "delta_bf16": abs(top1_bf16 - top1_fake),
+    }
+    for k in ("delta_pallas", "delta_packed"):
+        assert res[k] <= 1e-3 + 1e-9, (
+            f"{k} {res[k]} exceeds the 0.1% bound: {res}")
+    return res
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--train-dir", default="",
+                   help="reuse an existing training dir (skip CPU train)")
+    p.add_argument("--out", default=os.path.join(
+        _REPO, "docs", "ACCURACY_ON_CHIP.json"))
+    args = p.parse_args(argv)
+
+    root = args.train_dir or tempfile.mkdtemp(prefix="qvt_acc_chip_")
+    if not args.train_dir:
+        print(f"[1/2] training both legs on CPU subprocess -> {root}",
+              flush=True)
+        _train_on_cpu(root)
+
+    print("[2/2] evaluating on the chip (compiled Mosaic kernels)",
+          flush=True)
+    import jax
+
+    results = {
+        "device": str(jax.devices()[0]),
+        "recipe": "tests/serve/test_accuracy_e2e.py rehearsal "
+                  "(float pretrain -> GETA QAT; pruned leg sparsity 0.3)",
+        "dense": _eval_leg(os.path.join(root, "dense"), pruned=False),
+        "pruned": _eval_leg(os.path.join(root, "pruned"), pruned=True),
+        "train_dir": root,
+    }
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+        f.write("\n")
+    print(json.dumps(results, indent=2))
+    print(f"written to {args.out}")
+
+
+if __name__ == "__main__":
+    main()
