@@ -604,6 +604,14 @@ def _attention_block(
     has_pb = proj_bias is not None
 
     j_imgs = 2 if b % 2 == 0 else 1
+    if j_imgs == 2 and not attention_block_fits(
+            n, d_model, heads, head_dim, fmt, j_imgs=2,
+            qkv_itemsize=jnp.dtype(out_dtype).itemsize):
+        # ViT-H-class: two images per program overflow VMEM (measured
+        # 16.8 MB vs the 16 MB scoped limit); one image fits — shorter
+        # task loop but the whole-branch fusion still beats the chain's
+        # qkv HBM round trip (tools/exp_vith.py)
+        j_imgs = 1
     qkv_stripes = qkv_stripes or (3 if three % (3 * 128) == 0 else 1)
     if three % qkv_stripes:
         # a non-dividing stripe count would leave the trailing

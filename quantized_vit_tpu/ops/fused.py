@@ -324,7 +324,20 @@ def _fused_kernel(*refs, fmt: str, k_half: int, k_real: int, prologue,
 # Mosaic lays out 7*2^k*32-row blocks better than 13*2^k*32 ones. The
 # serving path pads tokens to 224/image so M = B*224 divides these tiles
 # exactly and no per-call pad/slice glue is emitted.
-_BLOCK_M_CANDIDATES = (896, 448, 224, 128, 64, 32)
+_BLOCK_M_CANDIDATES = (896, 576, 448, 288, 224, 128, 64, 32)
+
+
+def _pick_bm(cap: int, fits) -> int:
+    """Largest fitting M tile, PREFERRING tiles that divide ``cap`` (a
+    non-dividing tile pads M up — e.g. 576 on ViT-B's M=7168 wastes 4.5%
+    of rows and measured +0.8 ms/batch when 576 entered the candidate
+    list for ViT-H's 2304-row geometry; dividing-first keeps ViT-B on
+    896 and ViT-H on 576/288 with zero padding)."""
+    for c in _BLOCK_M_CANDIDATES:
+        if c <= cap and cap % c == 0 and fits(c):
+            return c
+    return next((c for c in _BLOCK_M_CANDIDATES if c <= cap and fits(c)),
+                32)
 
 
 def _pick_block_m(m: int, kp: int, n: int, x_bytes: int, out_bytes: int,
@@ -343,10 +356,8 @@ def _pick_block_m(m: int, kp: int, n: int, x_bytes: int, out_bytes: int,
         stack = bm * kp * 4 + bm * n * 4
         return 2 * stream + stack + w_bytes <= _VMEM_BUDGET
 
-    for bm in _BLOCK_M_CANDIDATES:
-        if bm <= cap and fits(bm):
-            return bm
-    return 32 if cap >= 32 else cap
+    bm = _pick_bm(cap, fits)
+    return bm if cap >= 32 else cap
 
 
 def fused_quant_matmul(*args, **kw):
@@ -686,6 +697,104 @@ def _fused_mlp_kernel(*refs, fmt: str, k_half: int, h_half: int, k_real: int,
     o_ref[:] = (out + x_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
 
+def _fused_mlp_chunked_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
+                              b2_ref, ln_g_ref, ln_b_ref, act_d, act_t,
+                              hid_d, hid_t, o_ref, lv_ref, acc_ref, *,
+                              k_real: int, act_pow: bool, hid_pow: bool,
+                              ln_eps: float, act_top: int, hid_top: int,
+                              n_stripes: int, act_folded: bool,
+                              hid_folded: bool, n_h: int):
+    """Hidden-CHUNKED MLP block: grid (M tiles x hidden chunks).
+
+    For big-D models (ViT-H: w1+w2 = 13.1 MB int8) both weights cannot
+    stay VMEM-resident next to useful M tiles — the resident-weight kernel
+    degrades to bm=32 (39% of roofline, measured tools/exp_vith.py). Here
+    each grid step (m, h) streams ONE (w1 column-chunk, w2 row-chunk) pair
+    through VMEM (Pallas double-buffers the fetch under the previous
+    chunk's dots), computes that chunk's hidden stripe and accumulates its
+    fc2 contribution into an int32 scratch; the epilogue fires at the last
+    chunk. x is fetched once per M tile (block index unchanged across h),
+    LN+quant runs once per M tile into an int8 scratch. The hidden tensor
+    STILL never touches HBM — same numerics as the resident kernel (int32
+    accumulation order over hidden is chunk-major, identical to its
+    stripe-major order when chunks == stripes sub-divide equally; dequant
+    is per-tensor so order only affects nothing in int32 exact adds).
+
+    int8 only: int4 packing pairs hidden rows (h, h + H/2) per byte, so a
+    contiguous w2 row-chunk mixes nibble planes; big-D int4 callers use
+    the two-kernel chain instead (serve/vit_int4.py routing)."""
+    h = pl.program_id(1)
+
+    @pl.when(h == 0)
+    def _ln_quant_once():
+        xx = _layernorm_f32(x_ref[:], ln_g_ref[:], ln_b_ref[:], ln_eps,
+                            k_real=k_real)
+        lv_ref[:] = _quantize_f32(xx, act_d[0], act_t[0], act_top,
+                                  act_pow, folded=act_folded)
+
+    lv = lv_ref[:]
+    ch = w1_ref.shape[1]
+    sub = ch // n_stripes
+    dn = (((1,), (0,)), ((), ()))
+    cols = [slice(s * sub, (s + 1) * sub) for s in range(n_stripes)]
+
+    def dot1(c):
+        return jax.lax.dot_general(lv, w1_ref[:, c], dimension_numbers=dn,
+                                   preferred_element_type=jnp.int32)
+
+    acc1 = {0: dot1(cols[0])}
+    acc2 = None
+    for s in range(n_stripes):
+        if s + 1 < n_stripes:
+            acc1[s + 1] = dot1(cols[s + 1])
+        y = (acc1.pop(s).astype(jnp.float32) * s1_ref[:, cols[s]]
+             + b1_ref[:, cols[s]])
+        if hid_folded:
+            hlv = _gelu_quant_folded(y, hid_d[0], hid_top)
+        else:
+            hlv = _quantize_f32(_gelu_f32(y), hid_d[0], hid_t[0], hid_top,
+                                hid_pow)
+        c2 = jax.lax.dot_general(hlv, w2_ref[cols[s], :],
+                                 dimension_numbers=dn,
+                                 preferred_element_type=jnp.int32)
+        acc2 = c2 if acc2 is None else acc2 + c2
+
+    @pl.when(h == 0)
+    def _init_acc():
+        acc_ref[:] = acc2
+
+    @pl.when(h > 0)
+    def _accumulate():
+        acc_ref[:] = acc_ref[:] + acc2
+
+    @pl.when(h == n_h - 1)
+    def _epilogue():
+        out = acc_ref[:].astype(jnp.float32) * s2_ref[:] + b2_ref[:]
+        o_ref[:] = (out + x_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def fused_mlp_resident_bm(k: int, hid: int, fmt: str = "int8",
+                          x_itemsize: int = 2,
+                          out_itemsize: int = 2) -> int:
+    """The M tile the resident-weight fused_mlp would pick at these dims
+    (the fits() loop of :func:`_fused_mlp`, exposed for routing). ViT-B/L
+    land at 448-896; ViT-H's 13.1 MB of weights force 32 — at which the
+    kernel measured 39% of roofline vs 83% for the two-kernel chain at
+    bm=288 (tools/exp_vith.py), so callers route big-weight MLPs away
+    (serve/vit_int4.py:_vit_block)."""
+    w_bytes = (k * hid + hid * k) * (1.5 if fmt == "int4" else 1)
+    n_stripes = (8 if hid % (8 * 128) == 0 else
+                 4 if hid % (4 * 128) == 0 else (2 if hid % 256 == 0 else 1))
+    budget = 14 * 2**20
+
+    def fits(bm):
+        stream = 2 * (bm * k * x_itemsize + bm * k * out_itemsize)
+        stack = bm * k * 4 * 2 + bm * (hid // n_stripes) * 4 * 2
+        return stream + stack + w_bytes <= budget
+
+    return next((c for c in _BLOCK_M_CANDIDATES if fits(c)), 32)
+
+
 def fused_mlp(*args, **kw):
     """Public entry (top levels must be static ints — see _fused_kernel)."""
     for k in ("act_top", "hid_top"):
@@ -702,7 +811,7 @@ def fused_mlp(*args, **kw):
     jax.jit,
     static_argnames=("fmt", "act_top", "act_pow", "hid_top", "hid_pow",
                      "ln_eps", "out_dtype", "block_m", "stripes",
-                     "interpret"),
+                     "hid_block", "interpret"),
 )
 def _fused_mlp(
     x: jax.Array,
@@ -716,6 +825,7 @@ def _fused_mlp(
     out_dtype=jnp.bfloat16,
     block_m: int | None = None,
     stripes: int | None = None,
+    hid_block: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """x + fc2(quant(GELU(fc1(quant(LN(x)))))) in ONE kernel.
@@ -791,8 +901,33 @@ def _fused_mlp(
         stack = bm * k * 4 * 2 + bm * (hid // n_stripes) * 4 * 2
         return stream + stack + w_bytes <= budget
 
-    bm = block_m or next((c for c in _BLOCK_M_CANDIDATES
-                          if c <= cap and fits(c)), 32)
+    bm = block_m or _pick_bm(cap, fits)
+
+    # Big-weight regime (ViT-H-class): both weights resident would force a
+    # tiny M tile (39% of roofline at bm=32, tools/exp_vith.py). Stream
+    # (w1 col-chunk, w2 row-chunk) pairs through a 2-D grid instead —
+    # bit-identical int32 accumulation, hidden still never touches HBM.
+    # int8 only (int4 packing pairs hidden rows across the H/2 boundary).
+    if hid_block is None and fmt == "int8" and bm < 224:
+        for n_h in (4, 8, 2):
+            hb = hid // n_h
+            if hid % n_h == 0 and hb % 256 == 0:
+                hid_block = hb
+                break
+    if hid_block is not None and hid_block != hid:
+        if fmt != "int8":
+            raise ValueError("hid_block chunking supports fmt='int8' only")
+        if hid % hid_block:
+            raise ValueError(f"hid_block={hid_block} must divide H={hid}")
+        return _fused_mlp_chunked(
+            x, w1, scale1, bias1, w2, scale2, bias2, ln_scale, ln_bias,
+            act_d=act_d, act_t=act_t, hid_d=hid_d, hid_t=hid_t, m=m, k=k,
+            hid=hid, hid_block=hid_block, block_m=block_m,
+            act_pow=act_pow, hid_pow=hid_pow, ln_eps=ln_eps,
+            act_top=act_top, hid_top=hid_top, act_folded=act_folded,
+            hid_folded=hid_folded, out_dtype=out_dtype,
+            interpret=interpret)
+
     mp = _round_up(m, bm)
     if mp != m:
         x = jnp.pad(x, ((0, mp - m), (0, 0)))
@@ -847,6 +982,95 @@ def _fused_mlp(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(*operands)
+    if mp != m:
+        out = out[:m]
+    return out
+
+
+def _fused_mlp_chunked(x, w1, scale1, bias1, w2, scale2, bias2, ln_scale,
+                       ln_bias, *, act_d, act_t, hid_d, hid_t, m, k, hid,
+                       hid_block, block_m, act_pow, hid_pow, ln_eps,
+                       act_top, hid_top, act_folded, hid_folded, out_dtype,
+                       interpret):
+    """Chunked-path pallas_call builder (see _fused_mlp_chunked_kernel).
+    scale1/bias1/scale2/bias2/ln already broadcast + constant-folded by
+    _fused_mlp."""
+    n_h = hid // hid_block
+    n_stripes = (4 if hid_block % 512 == 0 else
+                 2 if hid_block % 256 == 0 else 1)
+
+    # chip sweep at ViT-H shapes (tools/exp_vith.py follow-up): bm=288
+    # hb=1280 compiled and ran best (206 us); the estimate below admits it
+    # (Mosaic's real stack is leaner than the conservative 14 MB rule)
+    budget = 16 * 2**20
+
+    def fits(bm):
+        stream = (2 * bm * k * (x.dtype.itemsize
+                                + jnp.dtype(out_dtype).itemsize)
+                  + 2 * 2 * k * hid_block)      # dbuf (w1c + w2c) int8
+        scratch = bm * k * (1 + 4)              # lv int8 + acc int32
+        stack = bm * (hid_block // n_stripes) * 4 * 2
+        return stream + scratch + stack <= budget
+
+    cap = _round_up(m, 32)
+    bm = block_m or _pick_bm(cap, fits)
+    mp = _round_up(m, bm)
+    if mp != m:
+        x = jnp.pad(x, ((0, mp - m), (0, 0)))
+
+    vmem = pltpu.VMEM
+    in_specs = [
+        pl.BlockSpec((bm, k), lambda i, h: (i, 0), memory_space=vmem),
+        pl.BlockSpec((k, hid_block), lambda i, h: (0, h),
+                     memory_space=vmem),
+        pl.BlockSpec((1, hid_block), lambda i, h: (0, h),
+                     memory_space=vmem),
+        pl.BlockSpec((1, hid_block), lambda i, h: (0, h),
+                     memory_space=vmem),
+        pl.BlockSpec((hid_block, k), lambda i, h: (h, 0),
+                     memory_space=vmem),
+        pl.BlockSpec((1, k), lambda i, h: (0, 0), memory_space=vmem),
+        pl.BlockSpec((1, k), lambda i, h: (0, 0), memory_space=vmem),
+        pl.BlockSpec((1, k), lambda i, h: (0, 0), memory_space=vmem),
+        pl.BlockSpec((1, k), lambda i, h: (0, 0), memory_space=vmem),
+    ]
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs += [smem()] * 4
+    operands = [
+        x, w1, scale1[None, :], bias1[None, :], w2, scale2[None, :],
+        bias2[None, :], ln_scale[None, :], ln_bias[None, :],
+        jnp.asarray(act_d, jnp.float32).reshape(1),
+        jnp.asarray(act_t if act_t is not None else 1.0,
+                    jnp.float32).reshape(1),
+        jnp.asarray(hid_d, jnp.float32).reshape(1),
+        jnp.asarray(hid_t if hid_t is not None else 1.0,
+                    jnp.float32).reshape(1),
+    ]
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_mlp_chunked_kernel, k_real=k, act_pow=act_pow,
+            hid_pow=hid_pow, ln_eps=ln_eps, act_top=act_top,
+            hid_top=hid_top, n_stripes=n_stripes, act_folded=act_folded,
+            hid_folded=hid_folded, n_h=n_h),
+        grid=(mp // bm, n_h),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, k), lambda i, h: (i, 0),
+                               memory_space=vmem),
+        out_shape=jax.ShapeDtypeStruct((mp, k), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, k), jnp.int8),
+                        pltpu.VMEM((bm, k), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * hid * k * 2,
+            bytes_accessed=mp * k * (x.dtype.itemsize
+                                     + jnp.dtype(out_dtype).itemsize)
+            + (mp // bm) * 2 * k * hid,
+            transcendentals=mp * hid,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(*operands)

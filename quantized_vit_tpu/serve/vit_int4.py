@@ -264,10 +264,13 @@ def _vit_block(x2d, blk, *, b: int, n_pad: int, n_real: int, dim: int,
     from ..ops.attention import attention_block_fits
 
     attn_fn = attention_qkv if use_pallas else attention_qkv_xla
+    qkv_item = jnp.dtype(float_dtype).itemsize
     if (use_pallas and qkv_e.fmt == proj_e.fmt and b >= 8
-            and attention_block_fits(
-                n_pad, dim, heads_i, hd, qkv_e.fmt,
-                qkv_itemsize=jnp.dtype(float_dtype).itemsize)):
+            and (attention_block_fits(n_pad, dim, heads_i, hd, qkv_e.fmt,
+                                      j_imgs=2, qkv_itemsize=qkv_item)
+                 or attention_block_fits(n_pad, dim, heads_i, hd,
+                                         qkv_e.fmt, j_imgs=1,
+                                         qkv_itemsize=qkv_item))):
         # the WHOLE attention residual branch in one kernel — LN ->
         # quant -> qkv matmul -> per-head softmax -> int8 alv -> proj
         # -> +x. The [M, 3D] qkv tensor (66 MB/block round trip at
@@ -314,12 +317,31 @@ def _vit_block(x2d, blk, *, b: int, n_pad: int, n_real: int, dim: int,
         )
     fc1_e = blk["fc1"]
     hid_dim = fc1_e.w.shape[1]
-    mlp_fusable = (use_pallas and fc1_e.fmt == fc2_e.fmt
+    mlp_aligned = (use_pallas and fc1_e.fmt == fc2_e.fmt
                    and x2d.shape[1] % (256 if fc1_e.fmt == "int4"
                                        else 128) == 0
                    and hid_dim % (256 if fc1_e.fmt == "int4"
                                   else 128) == 0)
-    if mlp_fusable:
+    chain_bm = None
+    if mlp_aligned:
+        # VMEM-aware routing (tools/exp_vith.py, ViT-H measurements): the
+        # resident-weight fused_mlp needs both weights in VMEM next to a
+        # useful M tile. ViT-B/L fit (bm 448-896, ~81% roofline); ViT-H's
+        # 13.1 MB forces bm=32 (39%) — there the measured order is
+        # two-kernel chain at bm=288 (83%) > chunked fused (74%) >
+        # resident fused (39%). Small-M big-weight (batch<=2) keeps the
+        # fused kernel: _fused_mlp auto-chunks, weights then stream once.
+        from ..ops.fused import fused_mlp_resident_bm
+
+        big_weights = fused_mlp_resident_bm(
+            x2d.shape[1], hid_dim, fc1_e.fmt,
+            jnp.dtype(float_dtype).itemsize,
+            jnp.dtype(float_dtype).itemsize) < 224
+        if big_weights and x2d.shape[0] > 576:
+            mlp_aligned = False  # -> chain
+            if use_pallas and x2d.shape[0] % 288 == 0:
+                chain_bm = 288
+    if mlp_aligned:
         # whole-MLP-block kernel: the [M, hidden] tensor never touches
         # HBM and x is read once (ops/fused.py:fused_mlp — fc1 VPU
         # epilogue overlapped under fc2's stripe dots; replaces the
@@ -338,29 +360,45 @@ def _vit_block(x2d, blk, *, b: int, n_pad: int, n_real: int, dim: int,
             fmt=fc1_e.fmt, out_dtype=float_dtype,
         )
     else:
+        bm_kw = {"block_m": chain_bm} if (chain_bm and use_pallas) else {}
         hlv = _qmatmul(
             x2d, fc1_e, use_pallas, float_dtype,
             prologue="ln_quant",
             ln_scale=blk["norm2"]["scale"], ln_bias=blk["norm2"]["bias"],
             epilogue="gelu_quant",
             out_d=fc2_e.act["d"], out_t=fc2_e.act["t"],
-            out_top=fc2_e.top, out_pow=fc2_e.act_pow,
+            out_top=fc2_e.top, out_pow=fc2_e.act_pow, **bm_kw,
         )
         x2d = _qmatmul(
             hlv, fc2_e, use_pallas, float_dtype,
-            prologue=None, epilogue="residual", residual=x2d,
+            prologue=None, epilogue="residual", residual=x2d, **bm_kw,
         )
     return x2d
+
+
+def _blocks_uniform(blocks) -> bool:
+    """True when every block shares geometry and static quantizer metadata
+    — the precondition for scanning one traced block body over stacked
+    weights (GETA-compressed subnets with per-block head counts, or
+    mixed-precision exports with per-layer tops, fall back to unrolling)."""
+    def sig(b):
+        return tuple(
+            (k, b[k].fmt, b[k].act_pow, b[k].top, b[k].bias is not None,
+             tuple(b[k].w.shape))
+            for k in ("qkv", "proj", "fc1", "fc2"))
+    s0 = sig(blocks[0])
+    return all(sig(b) == s0 for b in blocks[1:])
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "use_pallas", "float_dtype", "int_attention",
-                     "images_layout"),
+                     "images_layout", "scan_blocks"),
 )
 def vit_int4_forward(art, images, cfg: ViTConfig, use_pallas: bool = True,
                      float_dtype=jnp.float32, int_attention: bool = False,
-                     images_layout: str = "nhwc"):
+                     images_layout: str = "nhwc",
+                     scan_blocks: bool | None = None):
     """Quantized ViT forward on integer weights. images: [B, H, W, 3] f32,
     or — with ``images_layout='patches'`` — the host-patchified
     [B, (H/P)*(W/P), P*P*3] layout from utils.native_prep.patchify_batch:
@@ -414,11 +452,31 @@ def vit_int4_forward(art, images, cfg: ViTConfig, use_pallas: bool = True,
     hd = dim // cfg.num_heads
     sm_scale = cfg.qk_scale if cfg.qk_scale is not None else hd**-0.5
 
-    for blk in art["blocks"]:
-        x2d = _vit_block(x2d, blk, b=b, n_pad=n_pad, n_real=n_real,
-                         dim=dim, hd=hd, sm_scale=sm_scale,
-                         use_pallas=use_pallas, float_dtype=float_dtype,
-                         int_attention=int_attention)
+    blocks = art["blocks"]
+    common = dict(b=b, n_pad=n_pad, n_real=n_real, dim=dim, hd=hd,
+                  sm_scale=sm_scale, use_pallas=use_pallas,
+                  float_dtype=float_dtype, int_attention=int_attention)
+    if scan_blocks is None:
+        # measured on v5e (tools/exp_vith.py follow-ups): unrolled beats
+        # scanned at every depth tried — ViT-H b8 9.99 vs 11.10 ms (the
+        # scan's per-step weight slice from the stacked array costs an
+        # HBM copy per block) and ViT-B b32 5.34 vs 5.39. scan_blocks=True
+        # remains available for program-size/compile-time relief (one
+        # traced block instead of depth). NOTE for harness authors: pass
+        # the artifact as a jit ARGUMENT, never a closure constant — a
+        # closure artifact is inlined as MLIR literals (1.27 GB at ViT-H)
+        # and overflows the remote-compile request limit.
+        scan_blocks = False
+    if scan_blocks and len(blocks) > 1 and _blocks_uniform(blocks):
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+        def body(carry, blk):
+            return _vit_block(carry, blk, **common), None
+
+        x2d, _ = jax.lax.scan(body, x2d, stacked)
+    else:
+        for blk in blocks:
+            x2d = _vit_block(x2d, blk, **common)
 
     x = x2d.reshape(b, n_pad, dim)[:, n_real - 1]  # cls row (last real row)
     x = _layernorm(x, art["norm"]).astype(jnp.float32)

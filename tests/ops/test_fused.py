@@ -241,6 +241,64 @@ def test_vit_forward_int_attention_close_to_float_attention():
     np.testing.assert_allclose(y_i, y_f, rtol=0.08, atol=0.08)
 
 
+def test_fused_mlp_chunked_matches_resident_and_xla():
+    """Hidden-chunked fused_mlp (the big-weight streaming path, ViT-H
+    routing — tools/exp_vith.py) is bit-identical to the resident kernel
+    and the XLA mirror: int32 hidden accumulation is exact under any
+    chunking."""
+    from quantized_vit_tpu.ops import fused_mlp, fused_mlp_xla
+
+    rng = np.random.default_rng(3)
+    k, hid, m = 128, 512, 96
+    x = jnp.array(rng.standard_normal((m, k)) * 0.3, jnp.bfloat16)
+    w1 = jnp.array(rng.integers(-7, 8, (k, hid)), jnp.int8)
+    w2 = jnp.array(rng.integers(-7, 8, (hid, k)), jnp.int8)
+    b1 = jnp.array(rng.standard_normal(hid) * 0.01, jnp.float32)
+    b2 = jnp.array(rng.standard_normal(k) * 0.01, jnp.float32)
+    kw = dict(ln_scale=jnp.array(rng.standard_normal(k) * 0.1 + 1.0,
+                                 jnp.float32),
+              ln_bias=jnp.array(rng.standard_normal(k) * 0.01, jnp.float32),
+              act_d=jnp.float32(0.05), act_t=jnp.float32(1.0), act_top=127,
+              hid_d=jnp.float32(0.05), hid_t=jnp.float32(1.0), hid_top=127,
+              fmt="int8", out_dtype=jnp.bfloat16)
+    want = np.asarray(fused_mlp_xla(
+        x, w1, jnp.float32(1e-3), b1, w2, jnp.float32(1e-3), b2, **kw),
+        np.float32)
+    for hb in (256, 128):
+        got = np.asarray(fused_mlp(
+            x, w1, jnp.float32(1e-3), b1, w2, jnp.float32(1e-3), b2,
+            hid_block=hb, interpret=True, **kw), np.float32)
+        np.testing.assert_array_equal(got, want)
+    # pow-map (t != 1) quantizers through the chunked path
+    kw2 = dict(kw, act_t=jnp.float32(1.08), hid_t=jnp.float32(0.93))
+    want2 = np.asarray(fused_mlp_xla(
+        x, w1, jnp.float32(1e-3), b1, w2, jnp.float32(1e-3), b2,
+        act_pow=True, hid_pow=True, **kw2), np.float32)
+    got2 = np.asarray(fused_mlp(
+        x, w1, jnp.float32(1e-3), b1, w2, jnp.float32(1e-3), b2,
+        hid_block=256, interpret=True, act_pow=True, hid_pow=True, **kw2),
+        np.float32)
+    np.testing.assert_array_equal(got2, want2)
+
+
+def test_fused_mlp_chunked_rejects_int4():
+    """int4 packing pairs hidden rows across the H/2 boundary; a
+    contiguous w2 row-chunk would mix nibble planes."""
+    from quantized_vit_tpu.ops import fused_mlp
+
+    rng = np.random.default_rng(0)
+    k, hid = 256, 512
+    w1 = pack_int4(jnp.array(rng.integers(-7, 8, (k, hid)), jnp.int8), axis=0)
+    w2 = pack_int4(jnp.array(rng.integers(-7, 8, (hid, k)), jnp.int8), axis=0)
+    with pytest.raises(ValueError, match="int8"):
+        fused_mlp(jnp.zeros((32, k), jnp.bfloat16),
+                  w1, jnp.float32(1e-3), None, w2, jnp.float32(1e-3), None,
+                  ln_scale=jnp.ones(k), ln_bias=jnp.zeros(k),
+                  act_d=jnp.float32(0.05), act_top=127,
+                  hid_d=jnp.float32(0.05), hid_top=127,
+                  fmt="int4", hid_block=256, interpret=True)
+
+
 def test_fused_rejects_bad_args():
     _, x, w, scale, bias, act = _mk()
     with pytest.raises(ValueError):

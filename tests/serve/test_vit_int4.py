@@ -72,6 +72,19 @@ def test_int_forward_pallas_interpret_matches_xla():
     np.testing.assert_allclose(y_pl, y_xla, rtol=1e-4, atol=1e-4)
 
 
+def test_scan_blocks_matches_unrolled():
+    """lax.scan over stacked block weights (the program-size/compile-time
+    variant for deep stacks) is numerically identical to the unrolled
+    loop; non-uniform blocks (e.g. GETA subnets) must fall back safely."""
+    cfg, model, params, x = _build(4.0)
+    art = export_vit_int4(cfg, params)
+    a = np.asarray(vit_int4_forward(art, x, cfg, use_pallas=False,
+                                    scan_blocks=False))
+    b = np.asarray(vit_int4_forward(art, x, cfg, use_pallas=False,
+                                    scan_blocks=True))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_nonuniform_bits_mixed_precision_export():
     """GETA yields per-layer bit widths; layers above 4 bits must export as
     int8 while 4-bit layers pack int4 — both in one artifact."""

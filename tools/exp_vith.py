@@ -23,8 +23,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-ITERS = 50
-REPS = 3
+ITERS = 200  # single kernels are 50-350 us; the chain must dwarf the
+REPS = 3     # ~25-29 ms RPC floor's +-2 ms jitter
 
 B, N, D, H, HD = 8, 288, 1280, 16, 80
 NV = 257
@@ -83,15 +83,19 @@ def main():
               out_dtype=jnp.bfloat16)
 
     # --- qkv matmul: default bm vs 288-family tiles --------------------
-    for bm in (None, 1152, 576, 288):
-        fn = _chain(lambda xx, bm=bm: fused_quant_matmul(
-            xx, wq, jnp.float32(1e-3), bq, block_m=bm, **kw))
-        dt = (_timeit(fn, x) - floor) / ITERS
-        ideal = 2 * M * D * THREE / 394e12
-        print(f"qkv  M={M} bm={bm}: {dt*1e6:7.1f} us  "
-              f"(ideal {ideal*1e6:.1f}, {ideal/dt*100:.0f}%)")
+    for bm in (None, 576, 288):
+        try:
+            fn = _chain(lambda xx, bm=bm: fused_quant_matmul(
+                xx, wq, jnp.float32(1e-3), bq, block_m=bm, **kw))
+            dt = (_timeit(fn, x) - floor) / ITERS
+            ideal = 2 * M * D * THREE / 394e12
+            print(f"qkv  M={M} bm={bm}: {dt*1e6:7.1f} us  "
+                  f"(ideal {ideal*1e6:.1f}, {ideal/dt*100:.0f}%)",
+                  flush=True)
+        except Exception as e:
+            print(f"qkv bm={bm}: FAILED {type(e).__name__} {str(e)[:80]}")
 
-    # --- fused MLP: default bm vs 288-family ---------------------------
+    # --- fused MLP: default bm (VMEM forces tiny tiles at D=1280) ------
     w1 = jnp.array(rng.integers(-7, 8, (D, HID)), jnp.int8)
     w2 = jnp.array(rng.integers(-7, 8, (HID, D)), jnp.int8)
     b1 = jnp.array(rng.standard_normal(HID) * 0.01, jnp.float32)
@@ -100,14 +104,42 @@ def main():
                act_t=jnp.float32(1.0), act_top=127,
                hid_d=jnp.float32(0.05), hid_t=jnp.float32(1.0),
                hid_top=127, fmt="int8", out_dtype=jnp.bfloat16)
-    for bm in (None, 1152, 576, 288):
-        fn = _chain(lambda xx, bm=bm: fused_mlp(
-            xx, w1, jnp.float32(1e-3), b1, w2, jnp.float32(1e-3), b2,
-            block_m=bm, **mkw))
-        dt = (_timeit(fn, x) - floor) / ITERS
-        ideal = 2 * 2 * M * D * HID / 394e12
-        print(f"mlp  M={M} bm={bm}: {dt*1e6:7.1f} us  "
-              f"(ideal {ideal*1e6:.1f}, {ideal/dt*100:.0f}%)")
+    ideal_mlp = 2 * 2 * M * D * HID / 394e12
+    for bm in (None, 128, 64):
+        try:
+            fn = _chain(lambda xx, bm=bm: fused_mlp(
+                xx, w1, jnp.float32(1e-3), b1, w2, jnp.float32(1e-3), b2,
+                block_m=bm, **mkw))
+            dt = (_timeit(fn, x) - floor) / ITERS
+            print(f"mlp  M={M} bm={bm}: {dt*1e6:7.1f} us  "
+                  f"(ideal {ideal_mlp*1e6:.1f}, {ideal_mlp/dt*100:.0f}%)",
+                  flush=True)
+        except Exception as e:
+            print(f"mlp bm={bm}: FAILED {type(e).__name__} {str(e)[:80]}")
+
+    # --- MLP as the two-kernel chain (one weight resident per kernel) --
+    hid_d = jnp.float32(0.05)
+    for bm in (None, 576, 288):
+        try:
+            def two_kernel(xx, bm=bm):
+                hlv = fused_quant_matmul(
+                    xx, w1, jnp.float32(1e-3), b1, block_m=bm,
+                    fmt="int8", prologue="ln_quant",
+                    act_d=jnp.float32(0.05), act_t=jnp.float32(1.0),
+                    act_top=127, ln_scale=g, ln_bias=be,
+                    epilogue="gelu_quant", out_d=hid_d,
+                    out_t=jnp.float32(1.0), out_top=127)
+                return fused_quant_matmul(
+                    hlv, w2, jnp.float32(1e-3), b2, block_m=bm,
+                    fmt="int8", prologue=None, epilogue="residual",
+                    residual=xx)
+            fn = _chain(two_kernel)
+            dt = (_timeit(fn, x) - floor) / ITERS
+            print(f"mlp2 M={M} bm={bm}: {dt*1e6:7.1f} us  "
+                  f"(ideal {ideal_mlp*1e6:.1f}, {ideal_mlp/dt*100:.0f}%)",
+                  flush=True)
+        except Exception as e:
+            print(f"mlp2 bm={bm}: FAILED {type(e).__name__} {str(e)[:80]}")
 
     # --- attention: qkv-layout kernel at hd=80 -------------------------
     qkv = jnp.array(rng.standard_normal((B, N, THREE)) * 0.1, jnp.bfloat16)
@@ -163,10 +195,25 @@ def main():
     art = random_vit_int4_artifact(cfg, seed=0, pack_weights=False)
     imgs = rng.standard_normal((B, 224, 224, 3)).astype(np.float32)
     imgs_p = jnp.asarray(patchify_batch(imgs, 14))
-    fn = _chain(lambda xx: vit_int4_forward(
-        art, xx, cfg, float_dtype=jnp.bfloat16, images_layout="patches"),
-        iters=20)
-    dt = (_timeit(fn, imgs_p) - floor) / 20
+
+    # artifact as ARGUMENT, never a closure constant: a closed-over
+    # artifact is inlined as MLIR literals (1.27 GB at ViT-H) and
+    # overflows the remote-compile request limit (docs/KERNELS.md #8)
+    @jax.jit
+    def full_chain(a, xx):
+        def body(i, carry):
+            z, acc = carry
+            y = vit_int4_forward(a, z, cfg, float_dtype=jnp.bfloat16,
+                                 images_layout="patches")
+            s = y.reshape(-1)[0].astype(jnp.float32)
+            poke = (s - s + jnp.float32(1)).astype(z.dtype)
+            z = jax.lax.dynamic_update_slice(
+                z, poke.reshape((1,) * z.ndim), (0,) * z.ndim)
+            return z, acc + s
+        _, acc = jax.lax.fori_loop(0, 20, body, (xx, jnp.float32(0)))
+        return acc
+
+    dt = (_timeit(full_chain, art, imgs_p) - floor) / 20
     print(f"full fwd b{B}: {dt*1e3:7.3f} ms ({B/dt:.0f} img/s)")
 
 
