@@ -1,7 +1,8 @@
 """Serving: INT4 ViT forward, batch eval, continuous batching."""
 
 from .vit_int4 import (export_vit_int4, vit_int4_forward, QLayerArtifact,
-                       random_vit_int4_artifact)
+                       prepare_latency_artifact, random_vit_int4_artifact,
+                       vit_int4_forward_latency)
 from .vit_tp import (permute_qkv_entry, prepare_tp_artifact,
                      shard_tp_artifact, tp_artifact_specs,
                      vit_int4_forward_tp)
@@ -16,4 +17,5 @@ __all__ = ["export_vit_int4", "vit_int4_forward", "QLayerArtifact",
            "shard_tp_artifact", "tp_artifact_specs", "vit_int4_forward_tp",
            "fsdp_artifact_specs", "prepare_fsdp_artifact",
            "shard_fsdp_artifact", "vit_int4_forward_fsdp",
+           "prepare_latency_artifact", "vit_int4_forward_latency",
            "RpcBackendStub", "RpcServingBackend"]

@@ -487,6 +487,179 @@ def vit_int4_forward(art, images, cfg: ViTConfig, use_pallas: bool = True,
     return x
 
 
+class StackMeta(tuple):
+    """Static metadata for the batch-1 megakernel (hashable, jit-static).
+    Fields: fmt, heads, tops (act/out/mlp/hid), pow flags (same order)."""
+
+    def __new__(cls, fmt, heads, act_top, out_top, mlp_top, hid_top,
+                act_pow, out_pow, mlp_pow, hid_pow):
+        return super().__new__(cls, (fmt, heads, act_top, out_top,
+                                     mlp_top, hid_top, act_pow, out_pow,
+                                     mlp_pow, hid_pow))
+
+    fmt = property(lambda s: s[0])
+    heads = property(lambda s: s[1])
+    act_top = property(lambda s: s[2])
+    out_top = property(lambda s: s[3])
+    mlp_top = property(lambda s: s[4])
+    hid_top = property(lambda s: s[5])
+    act_pow = property(lambda s: s[6])
+    out_pow = property(lambda s: s[7])
+    mlp_pow = property(lambda s: s[8])
+    hid_pow = property(lambda s: s[9])
+
+
+def prepare_latency_artifact(art: Dict[str, Any], cfg: ViTConfig):
+    """One-time prep for the batch-1 megakernel (ops/block_stack.py):
+    stack the per-block weights along a leading depth axis and apply the
+    SAME constant folds the per-block kernel wrappers apply (1/d into LN
+    gamma/beta when the quantizer is linear; 2^-0.5 into fc1's dequant
+    for the folded-GELU handoff). Stacking happens HERE, outside jit —
+    inside jit it would re-copy every weight per call (~43 MB at ViT-B,
+    ruinous at a 0.1 ms latency target).
+
+    Returns (latency_artifact, StackMeta). Requires uniform static
+    metadata across blocks (fmt/tops/pow — true for standard exports;
+    GETA mixed-precision subnets fall back to the chain path)."""
+    blocks = art["blocks"]
+    if not _blocks_uniform(blocks):
+        raise ValueError("per-block static metadata differs; the "
+                         "megakernel needs a uniform stack")
+    b0 = blocks[0]
+    fmt = b0["qkv"].fmt
+    if any(b0[k].fmt != fmt for k in ("proj", "fc1", "fc2")):
+        raise ValueError("mixed weight formats within a block; the "
+                         "megakernel needs one fmt (use the chain path)")
+    hd = cfg.embed_dim // cfg.num_heads
+    heads = b0["qkv"].w.shape[1] // (3 * hd)
+    meta = StackMeta(
+        fmt, heads,
+        b0["qkv"].top, b0["proj"].top, b0["fc1"].top, b0["fc2"].top,
+        b0["qkv"].act_pow, b0["proj"].act_pow,
+        b0["fc1"].act_pow, b0["fc2"].act_pow)
+
+    def f32(a):
+        return jnp.asarray(a, jnp.float32)
+
+    def fold_ln(ln, entry):
+        g, be = f32(ln["scale"]), f32(ln["bias"])
+        if not entry.act_pow:
+            inv_d = 1.0 / f32(entry.act["d"])
+            g, be = g * inv_d, be * inv_d
+        return g, be
+
+    rows = {"wq": [], "qs": [], "qb": [], "l1g": [], "l1b": [],
+            "wp": [], "ps": [], "pb": [], "l2g": [], "l2b": [],
+            "w1": [], "s1": [], "b1": [], "w2": [], "s2": [], "b2": [],
+            "act_d": [], "act_t": [], "out_d": [], "out_t": [],
+            "mlp_d": [], "mlp_t": [], "hid_d": [], "hid_t": []}
+    for blk in blocks:
+        qkv_e, proj_e = blk["qkv"], blk["proj"]
+        fc1_e, fc2_e = blk["fc1"], blk["fc2"]
+        three = qkv_e.w.shape[1]
+        hid = fc1_e.w.shape[1]
+        d = proj_e.w.shape[1]
+        g1, be1 = fold_ln(blk["norm1"], qkv_e)
+        g2, be2 = fold_ln(blk["norm2"], fc1_e)
+        s1 = jnp.broadcast_to(f32(fc1_e.scale), (hid,))
+        b1 = (jnp.zeros((hid,), jnp.float32) if fc1_e.bias is None
+              else f32(fc1_e.bias))
+        if not fc2_e.act_pow:  # folded-GELU handoff (fused_mlp wrapper)
+            s1 = s1 * jnp.float32(2.0**-0.5)
+            b1 = b1 * jnp.float32(2.0**-0.5)
+        rows["wq"].append(qkv_e.w)
+        rows["qs"].append(jnp.broadcast_to(f32(qkv_e.scale), (three,)))
+        rows["qb"].append(jnp.zeros((three,), jnp.float32)
+                          if qkv_e.bias is None else f32(qkv_e.bias))
+        rows["l1g"].append(g1)
+        rows["l1b"].append(be1)
+        rows["wp"].append(proj_e.w)
+        rows["ps"].append(jnp.broadcast_to(f32(proj_e.scale), (d,)))
+        rows["pb"].append(jnp.zeros((d,), jnp.float32)
+                          if proj_e.bias is None else f32(proj_e.bias))
+        rows["l2g"].append(g2)
+        rows["l2b"].append(be2)
+        rows["w1"].append(fc1_e.w)
+        rows["s1"].append(s1)
+        rows["b1"].append(b1)
+        rows["w2"].append(fc2_e.w)
+        rows["s2"].append(jnp.broadcast_to(f32(fc2_e.scale), (d,)))
+        rows["b2"].append(jnp.zeros((d,), jnp.float32)
+                          if fc2_e.bias is None else f32(fc2_e.bias))
+        rows["act_d"].append(f32(qkv_e.act["d"]))
+        rows["act_t"].append(f32(qkv_e.act["t"]))
+        rows["out_d"].append(f32(proj_e.act["d"]))
+        rows["out_t"].append(f32(proj_e.act["t"]))
+        rows["mlp_d"].append(f32(fc1_e.act["d"]))
+        rows["mlp_t"].append(f32(fc1_e.act["t"]))
+        rows["hid_d"].append(f32(fc2_e.act["d"]))
+        rows["hid_t"].append(f32(fc2_e.act["t"]))
+
+    stack = {}
+    for k, vs in rows.items():
+        arr = jnp.stack(vs)
+        if arr.ndim == 2 and k not in ("wq", "wp", "w1", "w2"):
+            arr = arr[:, None, :]  # [L, 1, cols] (kernel scale/bias rows)
+        stack[k] = arr
+
+    out = {k: v for k, v in art.items() if k != "blocks"}
+    out["stack"] = stack
+    return out, meta
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "meta", "float_dtype", "images_layout",
+                     "interpret"),
+)
+def vit_int4_forward_latency(art, images, cfg: ViTConfig, meta: StackMeta,
+                             float_dtype=jnp.bfloat16,
+                             images_layout: str = "patches",
+                             interpret: bool = False):
+    """Batch-1 latency forward: embed -> ONE megakernel over the whole
+    block stack -> head (ops/block_stack.py). ~4 dispatches instead of
+    ~38; numerics identical to vit_int4_forward (parity-tested).
+
+    art: (latency_artifact from :func:`prepare_latency_artifact`).
+    images: batch size 1 ([1, H, W, 3] or patches layout)."""
+    from ..ops.block_stack import vit_block_stack
+
+    b = images.shape[0]
+    if b != 1:
+        raise ValueError(f"latency path is batch-1 only, got {b}")
+    # interpret=True (CPU parity tests): the embed/head Pallas kernels
+    # can't lower on CPU, so those stages take their XLA mirrors
+    # (bit-identical — bench parity preamble) while the megakernel runs
+    # in Pallas interpret mode
+    x2d, n_pad, dim = _embed_tokens(art, images, cfg, not interpret,
+                                    float_dtype, images_layout)
+    hd = dim // cfg.num_heads
+    sm_scale = cfg.qk_scale if cfg.qk_scale is not None else hd**-0.5
+    st = art["stack"]
+    x2d = vit_block_stack(
+        x2d, st["wq"], st["qs"], st["qb"], st["l1g"], st["l1b"],
+        st["wp"], st["ps"], st["pb"], st["l2g"], st["l2b"],
+        st["w1"], st["s1"], st["b1"], st["w2"], st["s2"], st["b2"],
+        st["act_d"], st["act_t"], st["out_d"], st["out_t"],
+        st["mlp_d"], st["mlp_t"], st["hid_d"], st["hid_t"],
+        heads=meta.heads, sm_scale=sm_scale, n_valid=cfg.num_tokens,
+        fmt=meta.fmt, act_pow=meta.act_pow, out_pow=meta.out_pow,
+        mlp_pow=meta.mlp_pow, hid_pow=meta.hid_pow,
+        act_top=meta.act_top, out_top=meta.out_top,
+        mlp_top=meta.mlp_top, hid_top=meta.hid_top,
+        out_dtype=float_dtype, interpret=interpret)
+
+    n_real = cfg.num_tokens
+    x = x2d.reshape(b, n_pad, dim)[:, n_real - 1]
+    x = _layernorm(x, art["norm"]).astype(jnp.float32)
+    if "pre_logits" in art:
+        x = jnp.tanh(x @ art["pre_logits"]["kernel"]
+                     + art["pre_logits"]["bias"])
+    if "head" in art:
+        x = _qmatmul(x, art["head"], not interpret, jnp.float32)
+    return x
+
+
 def random_vit_int4_artifact(cfg: ViTConfig, seed: int = 0,
                              pack_weights: bool = True):
     """Random serving artifact with realistic scales (bench/compile-check
