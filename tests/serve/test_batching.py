@@ -191,17 +191,24 @@ def test_dispatch_overlaps_device_execution():
     serial (host+device) sum by well over 1.5x."""
     n_batches = 12
     host, dev = 0.010, 0.010
-    fake = _FakeAsyncDevice(host, dev)
-    b = ContinuousBatcher(fake, max_batch=4, max_delay_ms=1.0)
-    imgs = [np.full((2, 2), float(i)) for i in range(4 * n_batches)]
-    with b:
-        t0 = time.monotonic()
-        futs = [b.submit(im) for im in imgs]
-        res = [f.result(timeout=30) for f in futs]
-        dt = time.monotonic() - t0
     serial = n_batches * (host + dev)
-    assert dt < serial / 1.5, f"no overlap: {dt:.3f}s vs serial {serial:.3f}s"
-    np.testing.assert_allclose(res, [im.sum() for im in imgs])
+    imgs = [np.full((2, 2), float(i)) for i in range(4 * n_batches)]
+    # Wall-clock assertion: best of 3 attempts, so transient CPU contention
+    # (e.g. the rest of the suite running in parallel) cannot fail the test.
+    best = float("inf")
+    for _ in range(3):
+        fake = _FakeAsyncDevice(host, dev)
+        b = ContinuousBatcher(fake, max_batch=4, max_delay_ms=1.0)
+        with b:
+            t0 = time.monotonic()
+            futs = [b.submit(im) for im in imgs]
+            res = [f.result(timeout=30) for f in futs]
+            dt = time.monotonic() - t0
+        np.testing.assert_allclose(res, [im.sum() for im in imgs])
+        best = min(best, dt)
+        if best < serial / 1.5:
+            break
+    assert best < serial / 1.5, f"no overlap: {best:.3f}s vs serial {serial:.3f}s"
 
 
 def test_multihost_frontend_balances_and_resolves():
