@@ -50,11 +50,14 @@ def _poke(imgs, s):
 
 
 def _chain(step_fn, iters):
+    """step_fn(art, images) -> logits; art is a jit ARGUMENT (a closure-
+    captured artifact lowers to inline MLIR literals and overflows the
+    remote-compile request at ViT-L size — docs/KERNELS.md #8)."""
     @jax.jit
-    def chain(images):
+    def chain(art, images):
         def body(i, carry):
             imgs, acc = carry
-            logits = step_fn(imgs)
+            logits = step_fn(art, imgs)
             return (_poke(imgs, logits[0, 0]), acc + logits[0, 0])
         _, acc = jax.lax.fori_loop(0, iters, body, (images, jnp.float32(0)))
         return acc
@@ -91,10 +94,10 @@ def main():
     imgs = jnp.array(np.random.default_rng(0).standard_normal(
         (32, 224, 224, 3)), jnp.float32)
     imgs_p = jnp.asarray(patchify_batch(np.asarray(imgs), cfg.patch_size))
-    dp_chain = _chain(lambda x: vit_int4_forward(
-        art, x, cfg, use_pallas=on_tpu, float_dtype=jnp.bfloat16,
+    dp_chain = _chain(lambda a, x: vit_int4_forward(
+        a, x, cfg, use_pallas=on_tpu, float_dtype=jnp.bfloat16,
         images_layout="patches"), ITERS)
-    dt = max((_timeit(dp_chain, imgs_p) - floor) / ITERS, 1e-9)
+    dt = max((_timeit(dp_chain, art, imgs_p) - floor) / ITERS, 1e-9)
     out["dp_single_chip_ms_b32"] = round(dt * 1e3, 3)
     prov["dp_single_chip_ms_b32"] = (
         "fused single-device serving path, ViT-B/16 W4A4 batch 32, "
@@ -107,11 +110,11 @@ def main():
     art_tp = shard_tp_artifact(prepare_tp_artifact(art, cfg, 1), mesh)
     imgs_tp = jax.device_put(imgs_p,
                              NamedSharding(mesh, P(("data", "model"))))
-    tp_chain = _chain(lambda x: vit_int4_forward_tp(
-        art_tp, x, cfg, mesh, use_pallas=on_tpu,
+    tp_chain = _chain(lambda a, x: vit_int4_forward_tp(
+        a, x, cfg, mesh, use_pallas=on_tpu,
         float_dtype=jnp.bfloat16, comm_dtype=jnp.bfloat16,
         images_layout="patches"), ITERS)
-    dt = max((_timeit(tp_chain, imgs_tp) - floor) / ITERS, 1e-9)
+    dt = max((_timeit(tp_chain, art_tp, imgs_tp) - floor) / ITERS, 1e-9)
     out["tp_single_chip_ms_b32"] = round(dt * 1e3, 3)
     prov["tp_single_chip_ms_b32"] = (
         "TP-path forward on a 1x1 mesh (standalone LN+quant, shard_map "
@@ -123,10 +126,10 @@ def main():
     art_l = random_vit_int4_artifact(cfg_l, seed=0, pack_weights=False)
     imgs_l = jnp.asarray(patchify_batch(
         np.asarray(imgs[:16]), cfg_l.patch_size))
-    l_chain = _chain(lambda x: vit_int4_forward(
-        art_l, x, cfg_l, use_pallas=on_tpu, float_dtype=jnp.bfloat16,
+    l_chain = _chain(lambda a, x: vit_int4_forward(
+        a, x, cfg_l, use_pallas=on_tpu, float_dtype=jnp.bfloat16,
         images_layout="patches"), ITERS)
-    dt = max((_timeit(l_chain, imgs_l) - floor) / ITERS, 1e-9)
+    dt = max((_timeit(l_chain, art_l, imgs_l) - floor) / ITERS, 1e-9)
     out["vitl_single_chip_ms_b16"] = round(dt * 1e3, 3)
     out["vitl_tp_single_chip_ms_b32"] = round(dt * 2 * 1.03 * 1e3, 3)
     prov["vitl_tp_single_chip_ms_b32"] = (
@@ -134,15 +137,47 @@ def main():
         "shapes) x1.03 TP-path overhead")
 
     # --- batch-1 latency (packed int4 — the weight-bandwidth regime) ---
+    # Serving batch-1 path is the whole-depth megakernel
+    # (ops/block_stack.py, round 4); the per-block chain is kept as a
+    # separate constant for the launch-overhead comparison in docs.
+    from quantized_vit_tpu.serve import (prepare_latency_artifact,
+                                         vit_int4_forward_latency)
+
     art_packed = random_vit_int4_artifact(cfg, seed=0, pack_weights=True)
-    b1_chain = _chain(lambda x: vit_int4_forward(
-        art_packed, x, cfg, use_pallas=on_tpu, float_dtype=jnp.bfloat16,
+    if on_tpu:
+        art_lat, lat_meta = prepare_latency_artifact(art_packed, cfg)
+        mk_chain = _chain(lambda a, x: vit_int4_forward_latency(
+            a, x, cfg, lat_meta, float_dtype=jnp.bfloat16), 10 * ITERS)
+        dt = max((_timeit(mk_chain, art_lat, imgs_p[:1]) - floor)
+                 / (10 * ITERS), 1e-9)
+        out["batch1_latency_ms"] = round(dt * 1e3, 3)
+        prov["batch1_latency_ms"] = (
+            "ViT-B/16 packed-int4 batch-1 whole-depth megakernel "
+            "(ops/block_stack.py), 300-iter poke chain")
+    b1_chain = _chain(lambda a, x: vit_int4_forward(
+        a, x, cfg, use_pallas=on_tpu, float_dtype=jnp.bfloat16,
         images_layout="patches"), 10 * ITERS)
-    dt = max((_timeit(b1_chain, imgs_p[:1]) - floor) / (10 * ITERS), 1e-9)
-    out["batch1_latency_ms"] = round(dt * 1e3, 3)
-    prov["batch1_latency_ms"] = (
-        "ViT-B/16 packed-int4 batch-1 poke chain, 300 iters (30-iter "
-        "chains jitter +-30% at this body time)")
+    dt = max((_timeit(b1_chain, art_packed, imgs_p[:1]) - floor)
+             / (10 * ITERS), 1e-9)
+    out["batch1_chain_latency_ms"] = round(dt * 1e3, 3)
+    prov["batch1_chain_latency_ms"] = (
+        "ViT-B/16 packed-int4 batch-1 per-block kernel chain poke chain, "
+        "300 iters (30-iter chains jitter +-30% at this body time)")
+
+    # merge-preserve keys written by other tools (tools/bench_train.py
+    # train_* keys) — this script owns only the keys it measures
+    path = os.path.join(_REPO, "MEASURED.json")
+    prior = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            prior = json.load(f)
+    prior_prov = prior.get("provenance", {})
+    prior_prov.update(prov)
+    for k in ("_comment", "measured_on", "rpc_floor_ms", "provenance"):
+        prior.pop(k, None)
+    prior.update(out)
+    out = prior
+    prov = prior_prov
 
     doc = {
         "_comment": ("Single source of truth for chain-measured timing "
