@@ -140,7 +140,12 @@ def main(argv=None):
     example = rng.standard_normal(
         (cfg.img_size, cfg.img_size, 3)).astype(np.float32)
 
-    batcher = ContinuousBatcher(forward, max_batch=args.max_batch,
+    # mesh serving: cap max_batch at the largest mesh-divisible bucket —
+    # the batcher appends max_batch as a bucket when it exceeds buckets[-1],
+    # and a bucket not divisible by the device count would fail the
+    # sharded forward's b % n_dev check at warmup
+    max_batch = buckets[-1] if buckets else args.max_batch
+    batcher = ContinuousBatcher(forward, max_batch=max_batch,
                                 max_delay_ms=args.max_delay_ms,
                                 buckets=buckets)
     print("[serve] warming buckets", batcher.buckets)

@@ -773,18 +773,19 @@ def _fused_mlp_chunked_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
         o_ref[:] = (out + x_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
 
-def fused_mlp_resident_bm(k: int, hid: int, fmt: str = "int8",
-                          x_itemsize: int = 2,
-                          out_itemsize: int = 2) -> int:
-    """The M tile the resident-weight fused_mlp would pick at these dims
-    (the fits() loop of :func:`_fused_mlp`, exposed for routing). ViT-B/L
-    land at 448-896; ViT-H's 13.1 MB of weights force 32 — at which the
-    kernel measured 39% of roofline vs 83% for the two-kernel chain at
-    bm=288 (tools/exp_vith.py), so callers route big-weight MLPs away
-    (serve/vit_int4.py:_vit_block)."""
+def _mlp_auto_stripes(hid: int) -> int:
+    """Default hidden-stripe count of the resident fused_mlp (measured
+    sweep: more stripes shorten the exposed GELU tail — see _fused_mlp)."""
+    return (8 if hid % (8 * 128) == 0 else
+            4 if hid % (4 * 128) == 0 else (2 if hid % 256 == 0 else 1))
+
+
+def _mlp_resident_fits(k: int, hid: int, fmt: str, x_itemsize: int,
+                       out_itemsize: int, n_stripes: int):
+    """VMEM fit predicate of the resident-weight fused_mlp — the ONE copy
+    of the budget/stream/stack formula, shared by the kernel's own tile
+    picker and by :func:`fused_mlp_resident_bm` (routing probe)."""
     w_bytes = (k * hid + hid * k) * (1.5 if fmt == "int4" else 1)
-    n_stripes = (8 if hid % (8 * 128) == 0 else
-                 4 if hid % (4 * 128) == 0 else (2 if hid % 256 == 0 else 1))
     budget = 14 * 2**20
 
     def fits(bm):
@@ -792,6 +793,20 @@ def fused_mlp_resident_bm(k: int, hid: int, fmt: str = "int8",
         stack = bm * k * 4 * 2 + bm * (hid // n_stripes) * 4 * 2
         return stream + stack + w_bytes <= budget
 
+    return fits
+
+
+def fused_mlp_resident_bm(k: int, hid: int, fmt: str = "int8",
+                          x_itemsize: int = 2,
+                          out_itemsize: int = 2) -> int:
+    """The M tile the resident-weight fused_mlp would pick at these dims,
+    unconstrained by M (exposed for routing; uses the SAME fit predicate
+    as :func:`_fused_mlp`). ViT-B/L land at 448-896; ViT-H's 13.1 MB of
+    weights force 32 — at which the kernel measured 39% of roofline vs
+    83% for the two-kernel chain at bm=288 (tools/exp_vith.py), so
+    callers route big-weight MLPs away (serve/vit_int4.py:_vit_block)."""
+    fits = _mlp_resident_fits(k, hid, fmt, x_itemsize, out_itemsize,
+                              _mlp_auto_stripes(hid))
     return next((c for c in _BLOCK_M_CANDIDATES if fits(c)), 32)
 
 
@@ -877,38 +892,33 @@ def _fused_mlp(
     # Sweep on v5e at ViT-B shapes (bm x stripes, chain-timed): 448x8/12 =
     # 217us, 448x4 = 220, 224x4..12 = 227-230 — more stripes shorten the
     # exposed GELU tail, bigger row tiles amortize the LN prologue.
-    n_stripes = stripes or (
-        8 if hid % (8 * 128) == 0 else
-        4 if hid % (4 * 128) == 0 else (2 if hid % 256 == 0 else 1))
+    n_stripes = stripes or _mlp_auto_stripes(hid)
     if hid % n_stripes:
         # a non-dividing stripe count would leave hid % stripes columns of
         # the hidden activation unwritten -> stale VMEM (ADVICE r3 #3)
         raise ValueError(
             f"stripes={n_stripes} does not divide hidden width {hid}")
-    w_bytes = (k * hid + hid * k) * (1.5 if fmt == "int4" else 1)
     cap = _round_up(m, 32)
 
     # measured headroom: bm=448 at ViT-B shapes uses ~14 MB and compiles/
-    # runs fine, so this kernel budgets closer to the 16 MB scoped limit
-    # than the analytic-stack-shy _VMEM_BUDGET (Mosaic fails loudly at
-    # compile time if a config overflows, so the risk is a build error,
-    # never silent corruption)
-    budget = 14 * 2**20
-
-    def fits(bm):
-        stream = 2 * (bm * k * x.dtype.itemsize
-                      + bm * k * jnp.dtype(out_dtype).itemsize)
-        stack = bm * k * 4 * 2 + bm * (hid // n_stripes) * 4 * 2
-        return stream + stack + w_bytes <= budget
-
+    # runs fine, so the shared fit predicate budgets closer to the 16 MB
+    # scoped limit than the analytic-stack-shy _VMEM_BUDGET (Mosaic fails
+    # loudly at compile time if a config overflows, so the risk is a build
+    # error, never silent corruption)
+    fits = _mlp_resident_fits(k, hid, fmt, x.dtype.itemsize,
+                              jnp.dtype(out_dtype).itemsize, n_stripes)
     bm = block_m or _pick_bm(cap, fits)
+    w_bytes = (k * hid + hid * k) * (1.5 if fmt == "int4" else 1)  # cost est
 
     # Big-weight regime (ViT-H-class): both weights resident would force a
     # tiny M tile (39% of roofline at bm=32, tools/exp_vith.py). Stream
     # (w1 col-chunk, w2 row-chunk) pairs through a 2-D grid instead —
     # bit-identical int32 accumulation, hidden still never touches HBM.
     # int8 only (int4 packing pairs hidden rows across the H/2 boundary).
-    if hid_block is None and fmt == "int8" and bm < 224:
+    # auto-chunk only when the caller pinned neither block_m nor hid_block:
+    # an explicit small block_m means "measure the RESIDENT kernel at this
+    # tile" (tools/exp_vith.py) and must not silently reroute
+    if hid_block is None and block_m is None and fmt == "int8" and bm < 224:
         for n_h in (4, 8, 2):
             hb = hid // n_h
             if hid % n_h == 0 and hb % 256 == 0:

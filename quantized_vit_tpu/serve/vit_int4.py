@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Dict
+from typing import Any, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -487,26 +487,19 @@ def vit_int4_forward(art, images, cfg: ViTConfig, use_pallas: bool = True,
     return x
 
 
-class StackMeta(tuple):
-    """Static metadata for the batch-1 megakernel (hashable, jit-static).
-    Fields: fmt, heads, tops (act/out/mlp/hid), pow flags (same order)."""
+class StackMeta(NamedTuple):
+    """Static metadata for the batch-1 megakernel (hashable, jit-static)."""
 
-    def __new__(cls, fmt, heads, act_top, out_top, mlp_top, hid_top,
-                act_pow, out_pow, mlp_pow, hid_pow):
-        return super().__new__(cls, (fmt, heads, act_top, out_top,
-                                     mlp_top, hid_top, act_pow, out_pow,
-                                     mlp_pow, hid_pow))
-
-    fmt = property(lambda s: s[0])
-    heads = property(lambda s: s[1])
-    act_top = property(lambda s: s[2])
-    out_top = property(lambda s: s[3])
-    mlp_top = property(lambda s: s[4])
-    hid_top = property(lambda s: s[5])
-    act_pow = property(lambda s: s[6])
-    out_pow = property(lambda s: s[7])
-    mlp_pow = property(lambda s: s[8])
-    hid_pow = property(lambda s: s[9])
+    fmt: str
+    heads: int
+    act_top: int
+    out_top: int
+    mlp_top: int
+    hid_top: int
+    act_pow: bool
+    out_pow: bool
+    mlp_pow: bool
+    hid_pow: bool
 
 
 def prepare_latency_artifact(art: Dict[str, Any], cfg: ViTConfig):

@@ -281,6 +281,45 @@ def test_fused_mlp_chunked_matches_resident_and_xla():
     np.testing.assert_array_equal(got2, want2)
 
 
+def test_fused_mlp_resident_matches_xla():
+    """The RESIDENT-weight fused_mlp (no hidden chunking) against the XLA
+    mirror, in both formats. Regression: since the ViT-H auto-chunk
+    routing (bm<224 -> chunked), small-M int8 calls silently take the
+    chunked path, so without forcing the resident path the suite never
+    executes the resident kernel body (a NameError there once went
+    unnoticed). m=448 keeps int8 resident; int4 never auto-chunks."""
+    from quantized_vit_tpu.ops import fused_mlp, fused_mlp_xla
+
+    rng = np.random.default_rng(7)
+    for fmt, m, k, hid in (("int8", 448, 128, 512), ("int4", 96, 256, 512)):
+        x = jnp.array(rng.standard_normal((m, k)) * 0.3, jnp.bfloat16)
+        w1v = jnp.array(rng.integers(-7, 8, (k, hid)), jnp.int8)
+        w2v = jnp.array(rng.integers(-7, 8, (hid, k)), jnp.int8)
+        w1 = pack_int4(w1v, axis=0) if fmt == "int4" else w1v
+        w2 = pack_int4(w2v, axis=0) if fmt == "int4" else w2v
+        kw = dict(ln_scale=jnp.array(rng.standard_normal(k) * 0.1 + 1.0,
+                                     jnp.float32),
+                  ln_bias=jnp.array(rng.standard_normal(k) * 0.01,
+                                    jnp.float32),
+                  act_d=jnp.float32(0.05), act_t=jnp.float32(1.0),
+                  act_top=127, hid_d=jnp.float32(0.05),
+                  hid_t=jnp.float32(1.0), hid_top=127,
+                  fmt=fmt, out_dtype=jnp.bfloat16)
+        want = np.asarray(fused_mlp_xla(
+            x, w1, jnp.float32(1e-3), None, w2, jnp.float32(1e-3), None,
+            **kw), np.float32)
+        got = np.asarray(fused_mlp(
+            x, w1, jnp.float32(1e-3), None, w2, jnp.float32(1e-3), None,
+            interpret=True, **kw), np.float32)
+        # near-exact: with RANDOM quantizer constants a handful of GELU
+        # outputs land on a round() knife edge where the kernel's folded
+        # 2^-0.5 scaling and the mirror's unfolded order differ by one
+        # f32 ulp -> one hidden level (~3/57k elements, <=scale2*|w2| per
+        # output). Real-artifact exactness is pinned on chip by the bench
+        # preamble.
+        np.testing.assert_allclose(got, want, rtol=0, atol=0.02)
+
+
 def test_fused_mlp_chunked_rejects_int4():
     """int4 packing pairs hidden rows across the H/2 boundary; a
     contiguous w2 row-chunk would mix nibble planes."""

@@ -22,7 +22,6 @@ Run on the chip:  python tools/bench_train.py
 import json
 import os
 import sys
-import time
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
@@ -37,17 +36,13 @@ ITERS = 10
 REPS = 3
 
 
+from _bench_util import measure_floor, timeit
+
+
 def _timeit(fn, *args):
-    # the chains return a host scalar; float() forces completion (the
-    # only reliable sync on the axon tunnel — bench.py method)
-    float(fn(*args))
-    float(fn(*args))
-    ts = []
-    for _ in range(REPS):
-        t0 = time.time()
-        float(fn(*args))
-        ts.append(time.time() - t0)
-    return min(ts)
+    # shared harness (tools/_bench_util.py); chains return a host scalar,
+    # float() forces completion — the only reliable sync on the tunnel
+    return timeit(fn, *args, reps=REPS)
 
 
 def main():
@@ -67,11 +62,7 @@ def main():
                        jnp.float32)
     labels = jnp.array(rng.integers(0, 1000, BATCH))
 
-    @jax.jit
-    def empty(x):
-        return jnp.sum(x)
-
-    floor = _timeit(empty, jnp.ones((8,), jnp.float32))
+    floor = measure_floor()
     out = {"rpc_floor_ms": round(floor * 1e3, 1)}
 
     # ---- fake-quant ViT-B + GETA --------------------------------------

@@ -15,7 +15,6 @@ overrides so the fix is chosen on measurements, not theory. Chain-timed
 import functools
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -33,15 +32,11 @@ HID = 4 * D
 M = B * N
 
 
+from _bench_util import timeit
+
+
 def _timeit(fn, *args):
-    float(fn(*args))
-    float(fn(*args))
-    ts = []
-    for _ in range(REPS):
-        t0 = time.time()
-        float(fn(*args))
-        ts.append(time.time() - t0)
-    return min(ts)
+    return timeit(fn, *args, reps=REPS)
 
 
 def _chain(step, iters=ITERS):

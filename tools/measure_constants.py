@@ -18,7 +18,6 @@ import functools
 import json
 import os
 import sys
-import time
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
@@ -29,39 +28,8 @@ import jax
 import jax.numpy as jnp
 
 ITERS = 30
-REPS = 3
 
-
-def _timeit(fn, *args):
-    float(fn(*args))
-    float(fn(*args))
-    ts = []
-    for _ in range(REPS):
-        t0 = time.time()
-        float(fn(*args))
-        ts.append(time.time() - t0)
-    return min(ts)
-
-
-def _poke(imgs, s):
-    upd = (s - s + jnp.ones((), jnp.float32)).astype(imgs.dtype)
-    return jax.lax.dynamic_update_slice(
-        imgs, upd.reshape((1,) * imgs.ndim), (0,) * imgs.ndim)
-
-
-def _chain(step_fn, iters):
-    """step_fn(art, images) -> logits; art is a jit ARGUMENT (a closure-
-    captured artifact lowers to inline MLIR literals and overflows the
-    remote-compile request at ViT-L size — docs/KERNELS.md #8)."""
-    @jax.jit
-    def chain(art, images):
-        def body(i, carry):
-            imgs, acc = carry
-            logits = step_fn(art, imgs)
-            return (_poke(imgs, logits[0, 0]), acc + logits[0, 0])
-        _, acc = jax.lax.fori_loop(0, iters, body, (images, jnp.float32(0)))
-        return acc
-    return chain
+from _bench_util import make_chain as _chain, measure_floor, timeit as _timeit
 
 
 def main():
@@ -80,11 +48,7 @@ def main():
         print("WARNING: not on TPU — numbers will not be chip truth",
               file=sys.stderr)
 
-    @jax.jit
-    def empty(x):
-        return jnp.sum(x)
-
-    floor = _timeit(empty, jnp.ones((8,), jnp.float32))
+    floor = measure_floor()
     out = {}
     prov = {}
 
