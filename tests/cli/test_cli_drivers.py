@@ -264,6 +264,42 @@ def test_serve_cli_mesh_fsdp_routes_to_weight_gather_path(served_artifact):
     assert "all-reduce" not in s, s
 
 
+def test_serve_cli_mesh_buckets_stay_divisible(served_artifact, monkeypatch):
+    """Regression: a --mesh-model that does not divide --max-batch must not
+    crash warmup. The batcher appends max_batch as a bucket when it exceeds
+    buckets[-1]; with mesh-model 4 / max-batch 6 that appended a 6-element
+    bucket that fails the sharded forward's b % n_dev check. main() now
+    caps max_batch at the largest mesh-divisible bucket. (fsdp mode: the
+    toy model's 2 heads can't TP-shard 4 ways, but FSDP column sharding
+    only needs widths % 4 == 0.)"""
+    import jax
+
+    if len(jax.devices()) < 4:  # pragma: no cover - 8-dev CPU mesh in CI
+        import pytest
+
+        pytest.skip("needs 4 virtual devices")
+
+    from quantized_vit_tpu.cli import serve as serve_cli
+    from quantized_vit_tpu.serve import ContinuousBatcher
+
+    args = serve_cli.parse_args(
+        ["--artifact", served_artifact, "--mesh-model", "4",
+         "--mesh-mode", "fsdp", "--max-batch", "6"])
+    forward, cfg, buckets = serve_cli.build_forward(args)
+    assert buckets and all(b % 4 == 0 for b in buckets), buckets
+
+    # exactly main()'s construction: every bucket the batcher will compile
+    # (including any it appends) must divide the device count
+    max_batch = buckets[-1] if buckets else args.max_batch
+    b = ContinuousBatcher(forward, max_batch=max_batch,
+                          max_delay_ms=args.max_delay_ms, buckets=buckets)
+    assert all(bk % 4 == 0 for bk in b.buckets), b.buckets
+
+    imgs = np.random.default_rng(2).standard_normal(
+        (cfg.img_size, cfg.img_size, 3)).astype(np.float32)
+    b.warmup(imgs)  # compiles every bucket through the sharded forward
+
+
 def test_export_driver_ultranet_torch_checkpoint(tmp_path):
     """The reference's ultranet_4w4a.pt exports straight to the integer
     artifact (the torch_export.py -> ultranet_param_gen.py flow in one)."""

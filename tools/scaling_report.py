@@ -391,6 +391,19 @@ def main():
             "not fit one chip; when they do fit, pure DP (zero",
             "communication) still dominates.",
             "",
+            "*Overlap flags: measured dead end.* A sweep of the async-",
+            "collective / latency-hiding-scheduler compiler options",
+            "(`tools/exp_overlap.py`: baseline, LHS, +async-AG, +async",
+            "fusion, +overlap-compute-collective) leaves every weight",
+            "gather synchronous (async pairs 0 in all five executables,",
+            "and the TP path's large AG/RS likewise): XLA will not",
+            "async-schedule manual shard_map collectives across the",
+            "opaque Mosaic custom-calls between them. The efficiency",
+            "above therefore assumes zero overlap — a measured property",
+            "of the schedule, not a conservative guess; true overlap",
+            "would need in-kernel RDMA (Pallas async remote copies),",
+            "noted as future work.",
+            "",
         ]
     except Exception as e:  # pragma: no cover
         lines += [f"(FSDP implemented-path audit unavailable: {e})", ""]
