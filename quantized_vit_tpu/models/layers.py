@@ -28,7 +28,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..quant.lsfq import lsfq_linear, lsfq_nonlinear, dge
+from ..quant.lsfq import (lsfq_linear, lsfq_nonlinear,
+                          lsfq_nonlinear_fused, dge)
 
 QUANT_PARAM_NAMES = (
     "d_quant_wt", "q_m_wt", "t_quant_wt",
@@ -53,6 +54,14 @@ class QuantConfig:
     act_clip: Tuple[float, float] = (-2.0, 2.0)
     init_bits: float = 32.0         # bits at initialization (train.py:247 uses 32)
     dge_bits: float = 4.0
+    # Fused single-pass quantizer backward (ops/quant_vjp.py Pallas kernel
+    # on TPU, jnp chain elsewhere). MEASURED SLOWER at ViT-B training
+    # shapes (181 vs 159 ms/step — the per-site kernel boundary re-reads
+    # what XLA's chain kept fused; docs/PERFORMANCE.md "QAT training
+    # step"), so off by default; kept parity-tested for wider-tensor
+    # regimes. Same forward; grad_d/q_m/t differ from the unfused chain
+    # by f32 reduction order only.
+    fused_vjp: bool = False
 
     @staticmethod
     def off() -> "QuantConfig":
@@ -81,6 +90,12 @@ class _QuantParamsMixin:
         if self.config.use_dge:
             return dge(x, d, q_m, clip_val, q_s, jnp.asarray(self.config.dge_bits))
         if self.config.nonlinear:
+            if self.config.fused_vjp:
+                # clip is a static config tuple -> the fused custom_vjp
+                # takes it as compile-time floats (ops/quant_vjp.py)
+                return lsfq_nonlinear_fused(x, d, q_m, t,
+                                            float(clip[0]), float(clip[1]),
+                                            0.0)
             return lsfq_nonlinear(x, d, q_m, t, clip_val, q_s)
         return lsfq_linear(x, d, q_m, clip_val, q_s)
 

@@ -2,6 +2,7 @@
 
 from .lsfq import (
     lsfq_nonlinear,
+    lsfq_nonlinear_fused,
     lsfq_linear,
     dge,
     lsfq_levels,
@@ -35,6 +36,7 @@ from .packing import pack_int4, unpack_int4
 
 __all__ = [
     "lsfq_nonlinear",
+    "lsfq_nonlinear_fused",
     "lsfq_linear",
     "dge",
     "lsfq_levels",
