@@ -57,6 +57,11 @@ def parse_args(argv=None):
     p.add_argument("--group-lasso-lambda", type=float, default=1e-4)
     p.add_argument("--gl-start-epoch", type=int, default=0)
     # misc
+    p.add_argument("--fused-vjp", action="store_true",
+                   help="fused single-pass quantizer backward "
+                        "(ops/quant_vjp.py; measured SLOWER at ViT-B "
+                        "training shapes — docs/PERFORMANCE.md — kept "
+                        "for experimentation on other geometries)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--out-dir", default="runs/train")
     p.add_argument("--no-tensorboard", action="store_true",
@@ -100,7 +105,9 @@ def main(argv=None):
 
     # model wrapped with learned-scale quantizers at 32 bits
     # (model_to_quantize_model(num_bits=32, ...) — train.py:247-250)
-    model, cfg = build_model(args, QuantConfig(enabled=True))
+    model, cfg = build_model(
+        args, QuantConfig(enabled=True,
+                          fused_vjp=bool(getattr(args, "fused_vjp", False))))
     x0 = jnp.zeros((1, args.img_size, args.img_size, 3), jnp.float32)
     params = flax.core.unfreeze(
         model.init(jax.random.PRNGKey(args.seed), x0)["params"])
