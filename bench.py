@@ -273,6 +273,58 @@ def main():
     dt_int4 = max(( _timeit(int4_chain, images_p) - floor) / ITERS, 1e-9)
     ips_int4 = BATCH / dt_int4
 
+    # Per-kernel decomposition (VERDICT r4 #1: localize future headline
+    # regressions automatically): chain-time the two block kernels at the
+    # EXACT serving configuration the forward routes to. A regression in
+    # the headline with flat per-kernel times is chip-session drift; a
+    # per-kernel delta names the kernel.
+    kernel_us = {}
+    if jax.default_backend() == "tpu":
+        from quantized_vit_tpu.ops import attention_block, fused_mlp
+
+        blk = art["blocks"][0]
+        n_pad = 208
+        x3 = jnp.zeros((BATCH, n_pad, cfg.embed_dim), jnp.bfloat16)
+        x2 = jnp.zeros((BATCH * n_pad, cfg.embed_dim), jnp.bfloat16)
+        K_ITERS = 300
+
+        def _kchain(step, x0):
+            @jax.jit
+            def chain(x):
+                def body(i, carry):
+                    x, acc = carry
+                    s = step(x)
+                    return (_poke(x, s), acc + s)
+                _, acc = jax.lax.fori_loop(0, K_ITERS, body,
+                                           (x, jnp.float32(0)))
+                return acc
+            return max((_timeit(chain, x0) - floor) / K_ITERS, 1e-9)
+
+        qkv_e, proj_e = blk["qkv"], blk["proj"]
+        fc1_e, fc2_e = blk["fc1"], blk["fc2"]
+        dt = _kchain(lambda x: attention_block(
+            x, qkv_e.w, qkv_e.scale, qkv_e.bias,
+            proj_e.w, proj_e.scale, proj_e.bias,
+            ln_scale=blk["norm1"]["scale"], ln_bias=blk["norm1"]["bias"],
+            heads=cfg.num_heads, sm_scale=(cfg.embed_dim
+                                           // cfg.num_heads) ** -0.5,
+            n_valid=cfg.num_tokens, act_d=qkv_e.act["d"],
+            act_t=qkv_e.act["t"], act_top=qkv_e.top, act_pow=qkv_e.act_pow,
+            out_d=proj_e.act["d"], out_t=proj_e.act["t"],
+            out_top=proj_e.top, out_pow=proj_e.act_pow, fmt=proj_e.fmt,
+            out_dtype=jnp.bfloat16)[0, 0, 0].astype(jnp.float32), x3)
+        kernel_us["attention_block_us"] = round(dt * 1e6, 1)
+        dt = _kchain(lambda x: fused_mlp(
+            x, fc1_e.w, fc1_e.scale, fc1_e.bias,
+            fc2_e.w, fc2_e.scale, fc2_e.bias, block_m=832,
+            ln_scale=blk["norm2"]["scale"], ln_bias=blk["norm2"]["bias"],
+            act_d=fc1_e.act["d"], act_t=fc1_e.act["t"], act_top=fc1_e.top,
+            act_pow=fc1_e.act_pow, hid_d=fc2_e.act["d"],
+            hid_t=fc2_e.act["t"], hid_top=fc2_e.top, hid_pow=fc2_e.act_pow,
+            fmt=fc1_e.fmt,
+            out_dtype=jnp.bfloat16)[0, 0].astype(jnp.float32), x2)
+        kernel_us["fused_mlp_us"] = round(dt * 1e6, 1)
+
     # int8-attention variant (VERDICT r1 #2): score/AV matmuls on the int8
     # MXU with dynamic per-head scales
     @jax.jit
@@ -379,12 +431,21 @@ def main():
             # remaining time is MXU at M=224 + partially-exposed VPU,
             # decomposition in docs/KERNELS.md #4)
             "latency_ms_batch1": round(dt_b1 * 1e3, 3),
-            # MFU vs the v5e int8 roofline: MACs for ViT-B/16 with tokens
-            # padded to 224 (matmuls 19.1G + patch embed 0.12G per image,
-            # attention counted at its bf16 roofline share)
+            # MFU vs the v5e int8 roofline, MODEL-FLOPs convention (round
+            # 5): useful work = the 197 REAL tokens' matmul MACs (pad rows
+            # are implementation overhead, not work), attention at its
+            # bf16 roofline share. Per image: blocks 197 tok x 7.078M
+            # MACs/tok/block x 12 = 16.73G, patch embed 196x768x768 =
+            # 0.116G, head 0.77M; attention 2 dots x 12 heads x 197^2 x 64
+            # = 0.0596G MACs. NOTE: rounds 1-4 reported a padded-geometry
+            # figure (224-token MACs + a 12x-overcounted attention term);
+            # under THIS convention r4's 4.863 ms scores 0.567, not the
+            # 0.70 recorded in BENCH_r04 (docs/PERFORMANCE.md, round-5
+            # accounting).
             "mfu_int8_roofline": round(
-                (19.25e9 * 2 * BATCH / 394e12 + 0.86e9 * 2 * BATCH / 197e12)
-                / dt_int4, 3),
+                (16.849e9 * 2 * BATCH / 394e12
+                 + 0.0596e9 * 2 * BATCH / 197e12) / dt_int4, 3),
+            **kernel_us,
         },
     }))
 

@@ -318,13 +318,16 @@ def _fused_kernel(*refs, fmt: str, k_half: int, k_real: int, prologue,
         finish(accs.pop((r, s)), row_sl[r], col_sl[s])
 
 
-# M-tile preference order, measured on v5e at ViT-B serving shapes (see
-# tools/sweep_fused.py): 896/448/224-row tiles ran the proj kernel at
-# 6.4-7.1us where 832/416/1664 (exact divisors of M=1664) ran 11-15us —
-# Mosaic lays out 7*2^k*32-row blocks better than 13*2^k*32 ones. The
-# serving path pads tokens to 224/image so M = B*224 divides these tiles
-# exactly and no per-call pad/slice glue is emitted.
-_BLOCK_M_CANDIDATES = (896, 576, 448, 288, 224, 128, 64, 32)
+# M-tile preference order, measured on v5e at ViT-B serving shapes. The
+# 13*2^k*32 story is SHAPE-DEPENDENT: at small M the round-2 sweep
+# (tools/sweep_fused.py) saw the proj kernel at bm=832/416 run 11-15us vs
+# 6.4-7.1 for 896/448/224, but at the round-5 batch-32 shapes
+# (tools/exp_pad208.py, M=6656 from 208-token padding) bm=832 runs the
+# qkv kernel at 69.0us vs 75.3 at 416 and beats the FLOP-scaled 224-pad
+# numbers outright. Dividing tiles are preferred in order (_pick_bm), so
+# adding 832/416 only affects geometries none of the 7-based tiles
+# divide; a non-dividing tile pads M up and wastes the pad rows.
+_BLOCK_M_CANDIDATES = (896, 832, 576, 448, 416, 288, 224, 128, 64, 32)
 
 
 def _pick_bm(cap: int, fits) -> int:

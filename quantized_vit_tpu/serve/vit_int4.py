@@ -186,13 +186,17 @@ def _round_up(a: int, b: int) -> int:
 
 
 def _embed_tokens(art, images, cfg: ViTConfig, use_pallas: bool,
-                  float_dtype, images_layout: str):
+                  float_dtype, images_layout: str, n_align: int = 32):
     """Patch-embed + pos-embed + cls + pad: images -> [B*n_pad, D] rows.
 
     Shared by the single-device forward and the shard_map TP forward
     (serve/vit_tp.py), which runs it per-device on its local images.
     Returns (x2d, n_pad, dim). See :func:`vit_int4_forward` for the layout
-    notes (cls-last token order, 32-row padding)."""
+    notes (cls-last token order, token padding). ``n_align``: token-pad
+    granularity — 16 (197 -> 208 rows/img) is the measured batch-serving
+    optimum (tools/exp_pad208.py: 7.1% less matmul M beats the former
+    224-row layout on every kernel); 32 (-> 224) remains for the batch-1
+    megakernel whose int8 scratch wants 32-sublane M."""
     b = images.shape[0]
     p = cfg.patch_size
     g = cfg.img_size // p
@@ -222,7 +226,7 @@ def _embed_tokens(art, images, cfg: ViTConfig, use_pallas: bool,
             preferred_element_type=jnp.float32)
 
     n_real = cfg.num_tokens
-    n_pad = _round_up(n_real, 32)
+    n_pad = _round_up(n_real, n_align)
 
     pos = art["pos_embed"].astype(jnp.float32).reshape(n_real, dim)
     cls_row = art["cls_token"].astype(jnp.float32).reshape(dim) + pos[0]
@@ -348,9 +352,19 @@ def _vit_block(x2d, blk, *, b: int, n_pad: int, n_real: int, dim: int,
         # fc1/fc2 kernel pair, -40us/block measured on v5e)
         from ..ops import fused_mlp
 
+        mlp_bm = None
+        if (use_pallas and fc1_e.fmt == "int8" and x2d.shape[1] == 768
+                and hid_dim == 3072 and x2d.shape[0] % 832 == 0):
+            # ViT-B 208-token geometry: bm=832 measured 197.4 us vs 200.9
+            # at the fits-gated 416 (tools/exp_pad208.py). Explicit
+            # because the conservative fits predicate rejects 832; gated
+            # to the exact measured (k, hid) — Mosaic would fail loudly,
+            # not silently, on an unmeasured bigger geometry
+            mlp_bm = 832
         x2d = fused_mlp(
             x2d, fc1_e.w, fc1_e.scale, fc1_e.bias,
             fc2_e.w, fc2_e.scale, fc2_e.bias,
+            block_m=mlp_bm,
             ln_scale=blk["norm2"]["scale"],
             ln_bias=blk["norm2"]["bias"],
             act_d=fc1_e.act["d"], act_t=fc1_e.act["t"],
@@ -393,12 +407,13 @@ def _blocks_uniform(blocks) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "use_pallas", "float_dtype", "int_attention",
-                     "images_layout", "scan_blocks"),
+                     "images_layout", "scan_blocks", "n_align"),
 )
 def vit_int4_forward(art, images, cfg: ViTConfig, use_pallas: bool = True,
                      float_dtype=jnp.float32, int_attention: bool = False,
                      images_layout: str = "nhwc",
-                     scan_blocks: bool | None = None):
+                     scan_blocks: bool | None = None,
+                     n_align: int = 16):
     """Quantized ViT forward on integer weights. images: [B, H, W, 3] f32,
     or — with ``images_layout='patches'`` — the host-patchified
     [B, (H/P)*(W/P), P*P*3] layout from utils.native_prep.patchify_batch:
@@ -440,13 +455,16 @@ def vit_int4_forward(art, images, cfg: ViTConfig, use_pallas: bool = True,
     # images_layout='patches' the host already patchified and the embed is
     # a plain quantized matmul over K = p*p*3 (bit-identical logits).
     #
-    # 32-row token padding (197 -> 224): int8 stream blocks are 32-sublane
-    # tiles, and M = B*224 divides the empirically fast 224/448/896-row M
-    # tiles (ops/fused.py:_BLOCK_M_CANDIDATES) so no per-kernel pad/slice
-    # glue is emitted. Token layout: patches first, cls LAST real row, pad
-    # rows above — attention is token-permutation-invariant (ops/patch.py).
+    # 16-row token padding (197 -> 208): cuts 7.1% of every matmul's M vs
+    # the former 224-row layout, and M = B*208 divides the 832/416-row M
+    # tiles which measured at-or-better per-FLOP rates than 896/448 at
+    # these shapes (tools/exp_pad208.py — attention_block 168.9 vs 177.9
+    # us/block, fused_mlp 197.4 vs 216.1 at bm=832). Token layout:
+    # patches first, cls LAST real row, pad rows above — attention is
+    # token-permutation-invariant (ops/patch.py).
     x2d, n_pad, dim = _embed_tokens(art, images, cfg, use_pallas,
-                                    float_dtype, images_layout)
+                                    float_dtype, images_layout,
+                                    n_align=n_align)
     n_real = cfg.num_tokens
 
     hd = dim // cfg.num_heads
