@@ -4,6 +4,7 @@ multi-host init and collective health checks."""
 from .audit import (
     CollectiveOp,
     collective_stats,
+    with_wire_dtype,
     parse_collectives,
     predict_scaling,
     summarize,
@@ -55,6 +56,7 @@ from .pipeline import (
 __all__ = [
     "CollectiveOp",
     "collective_stats",
+    "with_wire_dtype",
     "parse_collectives",
     "predict_scaling",
     "summarize",

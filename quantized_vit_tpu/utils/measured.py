@@ -18,13 +18,14 @@ _REPO = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 #: Fallbacks for a fresh checkout where MEASURED.json has not been produced
-#: yet (v5e, round-4 session). Keep keys aligned with measure_constants.py.
+#: yet (v5e, round-5 session — 208-token padding). Keep keys aligned with
+#: measure_constants.py (it warns when these drift >15% from a fresh run).
 FALLBACKS = {
-    "dp_single_chip_ms_b32": 4.778,
-    "tp_single_chip_ms_b32": 5.504,
-    "vitl_tp_single_chip_ms_b32": 16.253,
-    "batch1_latency_ms": 0.181,
-    "batch1_chain_latency_ms": 0.311,
+    "dp_single_chip_ms_b32": 4.541,
+    "tp_single_chip_ms_b32": 5.582,
+    "vitl_tp_single_chip_ms_b32": 18.721,
+    "batch1_latency_ms": 0.19,
+    "batch1_chain_latency_ms": 0.291,
 }
 
 

@@ -190,6 +190,50 @@ def audit_fsdp_aot(tp: int, dp: int, topo_name: str, compute_s: float):
     return aud["summary"], pred, aud
 
 
+def audit_fsdp_rdma_aot(tp: int, dp: int, topo_name: str, compute_s: float):
+    """AOT-compile the IN-KERNEL RDMA weight-gather forward
+    (serve/vit_fsdp.py:vit_int4_forward_fsdp_rdma — steady-state gathers
+    ride pltpu.make_async_remote_copy inside the MLP kernels) for a v5e
+    topology and audit what remains in the XLA schedule: only block 0's
+    bootstrap gather should appear. Predicted exposed communication =
+    that bootstrap (ring model); the in-kernel pushes are measured hidden
+    on the single-chip harness (tools/exp_rdma_overlap.py). Returns
+    (summary, prediction, audit)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from quantized_vit_tpu.models.vit import ViTConfig
+    from quantized_vit_tpu.parallel import (audit_schedule, get_topology,
+                                            predict_tp_step)
+    from quantized_vit_tpu.serve import (fsdp_rdma_artifact_specs,
+                                         prepare_fsdp_rdma_artifact,
+                                         random_vit_int4_artifact,
+                                         vit_int4_forward_fsdp_rdma)
+
+    topo = get_topology(topo_name)
+    devs = np.array(topo.devices)[:dp * tp]
+    mesh = Mesh(devs.reshape(dp, tp), axis_names=("data", "model"))
+    cfg = ViTConfig(num_classes=1000)
+    art0 = prepare_fsdp_rdma_artifact(
+        random_vit_int4_artifact(cfg, seed=0, pack_weights=False), cfg, tp)
+    batch = BATCH_PER_GROUP * dp * tp
+    x_abs = jax.ShapeDtypeStruct(
+        (batch, 224, 224, 3), jnp.float32,
+        sharding=NamedSharding(mesh, P(("data", "model"))))
+    specs = fsdp_rdma_artifact_specs(art0)
+    sds = lambda a, s: jax.ShapeDtypeStruct(
+        a.shape, a.dtype, sharding=NamedSharding(mesh, s))
+    art_abs = jax.tree.map(sds, art0, specs)
+    fn = jax.jit(functools.partial(
+        vit_int4_forward_fsdp_rdma, cfg=cfg, mesh=mesh,
+        float_dtype=jnp.bfloat16))
+    comp = fn.lower(art_abs, x_abs).compile()
+    aud = audit_schedule(comp.as_text())
+    pred = predict_tp_step(compute_s, aud)
+    return aud["summary"], pred, aud
+
+
 def audit_dp_collectives(topo_name: str = "v5e:2x2"):
     """AOT-compile the DP-only serving step — the unsharded single-device
     forward, real Pallas kernels — and return its audited collective
@@ -400,13 +444,59 @@ def main():
             "async-schedule manual shard_map collectives across the",
             "opaque Mosaic custom-calls between them. The efficiency",
             "above therefore assumes zero overlap — a measured property",
-            "of the schedule, not a conservative guess; true overlap",
-            "would need in-kernel RDMA (Pallas async remote copies),",
-            "noted as future work.",
+            "of the schedule. True overlap needs in-kernel RDMA, built",
+            "below (round 5).",
             "",
         ]
     except Exception as e:  # pragma: no cover
         lines += [f"(FSDP implemented-path audit unavailable: {e})", ""]
+
+    # round-5 (VERDICT r4 #2): the IN-KERNEL RDMA gather mode — the MLP
+    # kernel itself pushes the next block's weight shards over ICI
+    # (ops/ring_gather.py), so the XLA scheduler never sees a steady-state
+    # collective to serialize
+    rdma_pred = None
+    try:
+        r_summary, r_pred, r_aud = audit_fsdp_rdma_aot(
+            2, 2, "v5e:2x2", DP_SINGLE_CHIP_MS / 1e3)
+        rdma_pred = r_pred
+        r_txt = ", ".join(
+            f"{k}: x{int(v['count'])} ({_fmt_mb(v['bytes'])})"
+            for k, v in sorted(r_summary.items()))
+        lines += [
+            "### Implemented (round 5): in-kernel RDMA weight gathers"
+            " (`ops/ring_gather.py`, audited + chip-measured overlap)",
+            "",
+            "Block i's MLP kernel pushes block i+1's four weight shards",
+            "over ICI with `pltpu.make_async_remote_copy` while its",
+            "stripe dots run (DMAs start at the first grid program, the",
+            "last program drains the semaphores); the XLA schedule keeps",
+            "ONLY block 0's bootstrap gather. Audited scheduled",
+            f"executable (v5e 2x2, ViT-B batch-32/chip): {r_txt} —",
+            "down from the x47 of the XLA-gather mode; exposed",
+            f"communication {r_pred['t_comm_exposed_s']*1e3:.2f} ms",
+            f"(bootstrap only) against {r_pred['t_compute_s']*1e3:.2f} ms",
+            f"of per-chip compute -> **efficiency"
+            f" {r_pred['efficiency']*100:.1f}%**"
+            f" ({'meets' if r_pred['efficiency'] >= 0.85 else 'misses'}"
+            " the >=85% bar).",
+            "",
+            "*The in-kernel copies are measured hidden, not assumed*:",
+            "on the real chip (tools/exp_rdma_overlap.py, tp=1 harness —",
+            "same kernel, same DMA engine path), fused_mlp_gather runs at",
+            "197.5-204.8 us with 4-31 MB of gather DMA in flight vs",
+            "197.6 us with none — flat through 31 MB, the HBM-rate",
+            "equivalent of ~38 us of tp=2 ICI traffic (the real per-block",
+            "gather is 3.4 MB over 90 GB/s ring bandwidth, needing only",
+            "~1/5 of one MLP kernel's 197 us of cover). Cross-device",
+            "semantics (barrier, peer pushes, semaphore drains) execute",
+            "for real under TPU interpret mode on the virtual CPU mesh",
+            "with EXACT logits parity vs the single-device forward",
+            "(tests/serve/test_vit_fsdp.py, tests/ops/test_ring_gather.py).",
+            "",
+        ]
+    except Exception as e:  # pragma: no cover
+        lines += [f"(RDMA-gather audit unavailable: {e})", ""]
 
     # width-scaling confirmation: audit ViT-L/16 TP=2 with its own
     # measured compute time — the report's "TP needs a much wider model"
@@ -461,6 +551,12 @@ def main():
         lines += [
             f"| FSDP weight-gather x DP (implemented, tensor-sharded) |"
             f" {fe*100:.1f}% | {'yes' if fe >= 0.85 else 'no'} |",
+        ]
+    if rdma_pred is not None:
+        re_ = rdma_pred["efficiency"] * dp_eff
+        lines += [
+            f"| FSDP + in-kernel RDMA gathers x DP (implemented, round 5) |"
+            f" {re_*100:.1f}% | {'yes' if re_ >= 0.85 else 'no'} |",
         ]
     lines += [""]
     if combined2 < 0.85:
