@@ -164,12 +164,47 @@ class QuantConv(nn.Module, _QuantParamsMixin):
             if self.use_bias
             else None
         )
-        if self.config.enabled:
+        quant_on = self.config.enabled
+        if quant_on:
             d_w, qm_w, t_w = self._declare_quant_params("wt")
-            kernel = self._quantize(kernel, d_w, qm_w, t_w, self.config.weight_clip)
+            kernel = self._quantize(kernel, d_w, qm_w, t_w,
+                                    self.config.weight_clip)
             if self.config.quantize_acts:
                 d_a, qm_a, t_a = self._declare_quant_params("act")
-                x = self._quantize(x, d_a, qm_a, t_a, self.config.act_clip)
+
+        # Non-overlapping patch convs (stride == kernel, VALID, ungrouped
+        # — the ViT patch embed) run as the EXACT space-to-depth GEMM.
+        # Round-5 measured forensics (tools/exp_qat_bwd2.py): with a
+        # trainable activation quantizer here, its (d, q_m, t) scalar
+        # grads need g = dL/d(quantized input), and for the conv form XLA
+        # emits a transposed conv back to [B, H, W, 3] — 3 output
+        # channels on a 128-lane MXU — costing ~95 ms of the 159 ms
+        # ViT-B/32 QAT step, depth-independently. The GEMM form's input
+        # gradient is an ordinary [*, D] x [D, p*p*C] dot: step 159 ->
+        # ~64 ms. Quantization surface unchanged: the per-tensor
+        # quantizer is permutation-invariant, so quantizing the
+        # patchified view equals quantizing the image (f32 reduction
+        # order in the scalar grads differs; values identical).
+        ks = tuple(self.kernel_size)
+        if (tuple(self.strides) == ks and self.feature_group_count == 1
+                and self.padding == "VALID" and x.ndim == 4
+                and x.shape[1] % ks[0] == 0 and x.shape[2] % ks[1] == 0):
+            b, H, W, C = x.shape
+            ph, pw = ks
+            xp = x.reshape(b, H // ph, ph, W // pw, pw, C)
+            xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b * (H // ph) * (W // pw), ph * pw * C)
+            if quant_on and self.config.quantize_acts:
+                xp = self._quantize(xp, d_a, qm_a, t_a,
+                                    self.config.act_clip)
+            y = jnp.dot(xp, kernel.reshape(ph * pw * C, self.features))
+            y = y.reshape(b, H // ph, W // pw, self.features)
+            if bias is not None:
+                y = y + bias
+            return y
+
+        if quant_on and self.config.quantize_acts:
+            x = self._quantize(x, d_a, qm_a, t_a, self.config.act_clip)
         y = jax.lax.conv_general_dilated(
             x,
             kernel,
