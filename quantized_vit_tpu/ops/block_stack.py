@@ -71,13 +71,15 @@ def _block_stack_kernel(
     act_pow: bool, out_pow: bool, mlp_pow: bool, hid_pow: bool,
     act_top: int, out_top: int, mlp_top: int, hid_top: int,
     ln_eps: float, depth: int, qkv_stripes: int, mlp_stripes: int,
+    j_imgs: int = 1,
 ):
     i = pl.program_id(0)
-    n, d_model = x_ref.shape
+    n, d_model = x_ref.shape  # n = j_imgs * n_img token rows
+    n_img = n // j_imgs
     hdim = heads * head_dim
     three = 3 * hdim
     hid = s1_ref.shape[1]
-    nk = _n_keys(n, n_valid, xs_ref.dtype.itemsize)
+    nk = _n_keys(n_img, n_valid, xs_ref.dtype.itemsize)
     d_half = d_model // 2
     h_half = hdim // 2
     hid_half = hid // 2
@@ -109,33 +111,40 @@ def _block_stack_kernel(
 
     col = None
     if n_valid < nk:
-        col = jax.lax.broadcasted_iota(jnp.int32, (n, nk), dimension=1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (n_img, nk), dimension=1)
 
-    def qkv_h(h):
-        q = qkv_ref[:, h * head_dim:(h + 1) * head_dim]
-        k = qkv_ref[:nk, hdim + h * head_dim:hdim + (h + 1) * head_dim]
-        v = qkv_ref[:nk, 2 * hdim + h * head_dim:
+    def qkv_h(j, h):
+        r0 = j * n_img
+        q = qkv_ref[r0:r0 + n_img, h * head_dim:(h + 1) * head_dim]
+        k = qkv_ref[r0:r0 + nk, hdim + h * head_dim:
+                    hdim + (h + 1) * head_dim]
+        v = qkv_ref[r0:r0 + nk, 2 * hdim + h * head_dim:
                     2 * hdim + (h + 1) * head_dim]
         return q, k, v
 
-    # software pipeline (as in _attn_qkv_kernel): head h+1's score matmul
-    # (MXU) is issued before head h's softmax (VPU) so the units overlap
-    q0, k0, v0 = qkv_h(0)
+    # software pipeline (as in _attn_qkv_kernel): task t+1's score matmul
+    # (MXU) is issued before task t's softmax (VPU) so the units overlap;
+    # tasks iterate (image, head) — small batches (2-4 images) just
+    # lengthen the loop (VERDICT r4 #5)
+    tasks = [(j, h) for j in range(j_imgs) for h in range(heads)]
+    q0, k0, v0 = qkv_h(*tasks[0])
     s_next = _score_one_head(q0, k0, sm_scale, False)
     v_cur = v0
-    for h in range(heads):
+    for ti, (j, h) in enumerate(tasks):
         s2_, v_use = s_next, v_cur
-        if h + 1 < heads:
-            q1, k1, v_cur = qkv_h(h + 1)
+        if ti + 1 < len(tasks):
+            jn_, hn = tasks[ti + 1]
+            q1, k1, v_cur = qkv_h(jn_, hn)
             s_next = _score_one_head(q1, k1, sm_scale, False)
         o_un, p_sum = _softmax_av(s2_, v_use, col, n_valid, False)
+        rows = slice(j * n_img, (j + 1) * n_img)
         if not out_pow:
             lvh = jnp.clip(jnp.round(o_un * (1.0 / (p_sum * out_d[i]))),
                            -float(out_top), float(out_top))
-            alv_ref[:, h * head_dim:(h + 1) * head_dim] = lvh.astype(
+            alv_ref[rows, h * head_dim:(h + 1) * head_dim] = lvh.astype(
                 jnp.int8)
         else:
-            alv_ref[:, h * head_dim:(h + 1) * head_dim] = _quantize_f32(
+            alv_ref[rows, h * head_dim:(h + 1) * head_dim] = _quantize_f32(
                 o_un / p_sum, out_d[i], out_t[i], out_top, out_pow)
 
     acc_p = _qdot(alv_ref[:], wp_ref[:], fmt, h_half)
@@ -214,7 +223,7 @@ def vit_block_stack(*args, **kw):
     static_argnames=("heads", "sm_scale", "n_valid", "fmt", "act_pow",
                      "out_pow", "mlp_pow", "hid_pow", "act_top", "out_top",
                      "mlp_top", "hid_top", "ln_eps", "out_dtype",
-                     "qkv_stripes", "mlp_stripes", "interpret"),
+                     "qkv_stripes", "mlp_stripes", "j_imgs", "interpret"),
 )
 def _vit_block_stack(
     x: jax.Array,
@@ -233,11 +242,14 @@ def _vit_block_stack(
     out_dtype=jnp.bfloat16,
     qkv_stripes: int | None = None,
     mlp_stripes: int | None = None,
+    j_imgs: int = 1,
     interpret: bool = False,
 ) -> jax.Array:
     """One pallas_call over the whole block stack (module docstring).
 
-    x: [n, D] (batch-1 token rows, padded). Stacked per-block operands
+    x: [j_imgs * n_img, D] token rows (padded; j_imgs=1 is the batch-1
+    latency case, 2-4 serve the continuous batcher's small flushes —
+    VERDICT r4 #5). Stacked per-block operands
     (leading axis = depth): wq [L, D(/2), 3*H*hd], qs/qb [L, 1, 3*H*hd],
     ln* [L, 1, D], wp [L, H*hd(/2), D], ps/pb/s2/b2 [L, 1, D],
     w1 [L, D(/2), hid], s1/b1 [L, 1, hid], w2 [L, hid(/2), D]. Per-layer
@@ -333,7 +345,8 @@ def _vit_block_stack(
             act_pow=act_pow, out_pow=out_pow, mlp_pow=mlp_pow,
             hid_pow=hid_pow, act_top=act_top, out_top=out_top,
             mlp_top=mlp_top, hid_top=hid_top, ln_eps=ln_eps, depth=depth,
-            qkv_stripes=qkv_stripes, mlp_stripes=mlp_stripes),
+            qkv_stripes=qkv_stripes, mlp_stripes=mlp_stripes,
+            j_imgs=j_imgs),
         grid=(depth,),
         in_specs=in_specs,
         out_specs=full((n, d_model)),

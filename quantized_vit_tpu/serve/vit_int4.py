@@ -269,7 +269,7 @@ def _vit_block(x2d, blk, *, b: int, n_pad: int, n_real: int, dim: int,
 
     attn_fn = attention_qkv if use_pallas else attention_qkv_xla
     qkv_item = jnp.dtype(float_dtype).itemsize
-    if (use_pallas and qkv_e.fmt == proj_e.fmt and b >= 8
+    if (use_pallas and qkv_e.fmt == proj_e.fmt and b >= 4
             and (attention_block_fits(n_pad, dim, heads_i, hd, qkv_e.fmt,
                                       j_imgs=2, qkv_itemsize=qkv_item)
                  or attention_block_fits(n_pad, dim, heads_i, hd,
@@ -280,10 +280,12 @@ def _vit_block(x2d, blk, *, b: int, n_pad: int, n_real: int, dim: int,
         # -> +x. The [M, 3D] qkv tensor (66 MB/block round trip at
         # batch 32) and the [M, D] alv tensor never touch HBM
         # (ops/attention.py:attention_block, bitwise vs the chain;
-        # 179.7 vs 195.7 us/block at batch 32). SMALL batches keep the
-        # qkv-kernel + attention_qkv_proj chain: at batch 1 the block
-        # kernel's single program serializes both weight streams and
-        # measured 0.211 vs 0.153 ms (bench latency_ms_batch1).
+        # 179.7 vs 195.7 us/block at batch 32). Gate b >= 4 (round 5,
+        # tools/exp_smallbatch.py): block kernels win at b=4 (0.68 vs
+        # the chain's 0.75 ms/batch) and tie at b=2 (0.425 vs 0.428) —
+        # batches 2-3 keep the chain; batch 1 routes to the whole-depth
+        # megakernel (0.165 ms; the b=2 megakernel crashes Mosaic's
+        # scoped-VMEM at 448 resident rows — measured dead end).
         from ..ops import attention_block
 
         x2d = attention_block(
@@ -637,7 +639,12 @@ def vit_int4_forward_latency(art, images, cfg: ViTConfig, meta: StackMeta,
 
     b = images.shape[0]
     if b != 1:
-        raise ValueError(f"latency path is batch-1 only, got {b}")
+        # measured dead end (round 5, tools/exp_smallbatch.py): at b=2
+        # the 448 resident rows overflow Mosaic's scoped VMEM (compiler
+        # crash) even though the analytic estimate fit; b=2-3 serve via
+        # the per-block chain, b>=4 via the block kernels
+        # (serve routing gate in _vit_block)
+        raise ValueError(f"latency megakernel is batch-1 only, got {b}")
     # interpret=True (CPU parity tests): the embed/head Pallas kernels
     # can't lower on CPU, so those stages take their XLA mirrors
     # (bit-identical — bench parity preamble) while the megakernel runs
@@ -658,7 +665,7 @@ def vit_int4_forward_latency(art, images, cfg: ViTConfig, meta: StackMeta,
         mlp_pow=meta.mlp_pow, hid_pow=meta.hid_pow,
         act_top=meta.act_top, out_top=meta.out_top,
         mlp_top=meta.mlp_top, hid_top=meta.hid_top,
-        out_dtype=float_dtype, interpret=interpret)
+        out_dtype=float_dtype, j_imgs=b, interpret=interpret)
 
     n_real = cfg.num_tokens
     x = x2d.reshape(b, n_pad, dim)[:, n_real - 1]
