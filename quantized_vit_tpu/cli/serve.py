@@ -45,6 +45,10 @@ def parse_args(argv=None):
                         "fsdp: weight-gather data parallel (memory-sharded)")
     p.add_argument("--no-pallas", action="store_true",
                    help="XLA int path instead of Pallas kernels")
+    p.add_argument("--input-uint8", action="store_true",
+                   help="serve uint8 pixel inputs (JPEG-decoded bytes; "
+                        "4x less host->device transfer — the production "
+                        "input mode; cast+scale runs on device)")
     return p.parse_args(argv)
 
 
@@ -118,13 +122,28 @@ def build_forward(args):
     # single-device: host-side patchify in the batcher's dispatch thread
     # (overlapped with the device step): the on-device patch relayout
     # costs ~220us/batch-32 (tools/exp_entry.py), the host writes these
-    # bytes during batch assembly anyway — vit_int4.py images_layout
-    def forward(images):
-        x = jnp.asarray(
-            patchify_batch(np.asarray(images, np.float32), cfg.patch_size))
-        return np.asarray(
-            vit_int4_forward(art, x, cfg, use_pallas=use_pallas,
-                             images_layout="patches"))
+    # bytes during batch assembly anyway — vit_int4.py images_layout.
+    # --input-uint8: upload uint8 patch bytes (4x less transfer — the
+    # measured bottleneck over thin host links, docs/PERFORMANCE.md
+    # "Serving") and cast+scale on device (vit_int4_forward input_scale).
+    if args.input_uint8:
+        from ..utils.native_prep import patchify_batch_u8
+
+        def forward(images):
+            x = jnp.asarray(patchify_batch_u8(
+                np.asarray(images, np.uint8), cfg.patch_size))
+            return np.asarray(
+                vit_int4_forward(art, x, cfg, use_pallas=use_pallas,
+                                 images_layout="patches",
+                                 input_scale=1.0 / 255.0))
+    else:
+        def forward(images):
+            x = jnp.asarray(
+                patchify_batch(np.asarray(images, np.float32),
+                               cfg.patch_size))
+            return np.asarray(
+                vit_int4_forward(art, x, cfg, use_pallas=use_pallas,
+                                 images_layout="patches"))
 
     return forward, cfg, buckets
 
@@ -137,8 +156,12 @@ def main(argv=None):
     forward, cfg, buckets = build_forward(args)
 
     rng = np.random.default_rng(0)
-    example = rng.standard_normal(
-        (cfg.img_size, cfg.img_size, 3)).astype(np.float32)
+    if args.input_uint8:
+        example = rng.integers(
+            0, 256, (cfg.img_size, cfg.img_size, 3)).astype(np.uint8)
+    else:
+        example = rng.standard_normal(
+            (cfg.img_size, cfg.img_size, 3)).astype(np.float32)
 
     # mesh serving: cap max_batch at the largest mesh-divisible bucket —
     # the batcher appends max_batch as a bucket when it exceeds buckets[-1],

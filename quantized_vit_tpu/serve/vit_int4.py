@@ -409,13 +409,15 @@ def _blocks_uniform(blocks) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "use_pallas", "float_dtype", "int_attention",
-                     "images_layout", "scan_blocks", "n_align"),
+                     "images_layout", "scan_blocks", "n_align",
+                     "input_scale"),
 )
 def vit_int4_forward(art, images, cfg: ViTConfig, use_pallas: bool = True,
                      float_dtype=jnp.float32, int_attention: bool = False,
                      images_layout: str = "nhwc",
                      scan_blocks: bool | None = None,
-                     n_align: int = 16):
+                     n_align: int = 16,
+                     input_scale: float | None = None):
     """Quantized ViT forward on integer weights. images: [B, H, W, 3] f32,
     or — with ``images_layout='patches'`` — the host-patchified
     [B, (H/P)*(W/P), P*P*3] layout from utils.native_prep.patchify_batch:
@@ -444,6 +446,14 @@ def vit_int4_forward(art, images, cfg: ViTConfig, use_pallas: bool = True,
     flip between the two.
     """
     b = images.shape[0]
+
+    # integer input mode (round 5): serving pipelines feed uint8 pixels
+    # (JPEG-decoded bytes) — 4x less host->device transfer than f32
+    # (measured the bottleneck of the batcher load test over the dev
+    # tunnel at ~50 MB/s fresh-buffer upload: docs/PERFORMANCE.md
+    # "Serving"); the cast + scale to float happens here ON DEVICE
+    if input_scale is not None:
+        images = images.astype(jnp.float32) * jnp.float32(input_scale)
 
     # Patch embed as a bf16 LEVEL conv: quantize the image to integer
     # levels elementwise (layout-free), then run XLA's native strided conv

@@ -143,6 +143,24 @@ def gather_rows(src: np.ndarray, idx: np.ndarray) -> np.ndarray:
     return out
 
 
+def patchify_batch_u8(images: np.ndarray, patch: int) -> np.ndarray:
+    """uint8 variant of :func:`patchify_batch` (the serving integer-input
+    mode — vit_int4_forward ``input_scale``): same byte reorder, numpy
+    path. The C++ kernel is f32-only; a uint8 batch is 4x smaller so the
+    numpy transpose costs ~2 ms/batch-32 and a second native symbol is
+    not worth it. Exists because the batcher load test measured the
+    host->device transfer as the serving bottleneck over thin links
+    (docs/PERFORMANCE.md 'Serving')."""
+    images = np.ascontiguousarray(images, np.uint8)
+    b, h, w, c = images.shape
+    if h % patch or w % patch:
+        raise ValueError(f"image {h}x{w} not divisible by patch {patch}")
+    x = images.reshape(b, h // patch, patch, w // patch, patch * c)
+    x = np.transpose(x, (0, 1, 3, 2, 4))
+    return np.ascontiguousarray(
+        x.reshape(b, (h // patch) * (w // patch), patch * patch * c))
+
+
 def patchify_batch(images: np.ndarray, patch: int) -> np.ndarray:
     """NHWC f32 batch -> ViT patch layout [B, (H/P)*(W/P), P*P*C].
 

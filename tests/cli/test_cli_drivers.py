@@ -390,3 +390,25 @@ def test_export_driver_torch_compressed(train_run, tmp_path):
     assert qkv_w.shape[0] == 3 * heads0 * hd
     # torch layout: [out, in]; in-features = embed dim
     assert qkv_w.shape[1] == arch["embed_dim"]
+
+
+def test_serve_cli_uint8_input_mode(served_artifact):
+    """--input-uint8 (round 5): the CLI serves uint8 pixel patches with
+    the cast+scale on device. Feeding the SAME pixel values as uint8 and
+    as the equivalent f32 (u/255) must produce identical logits — the
+    uint8 leg only moves the division across the host/device boundary."""
+    import numpy as np
+
+    from quantized_vit_tpu.cli.serve import build_forward, parse_args
+
+    args8 = parse_args(["--artifact", served_artifact, "--input-uint8"])
+    fwd8, cfg, _ = build_forward(args8)
+    argsf = parse_args(["--artifact", served_artifact])
+    fwdf, _, _ = build_forward(argsf)
+
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, (2, cfg.img_size, cfg.img_size, 3),
+                      dtype=np.uint8)
+    y8 = fwd8(u8)
+    yf = fwdf((u8.astype(np.float32) / np.float32(255.0)))
+    np.testing.assert_allclose(y8, yf, atol=1e-5)
