@@ -113,10 +113,13 @@ def _merge_into_quant_tree(float_params):
     return init_quant_params_tree(qp, init_bits=8.0)
 
 
-def _train(tmp_root, sparsity: float):
-    from quantized_vit_tpu.cli.train import main
-    from quantized_vit_tpu.opt.checkpoint import save_checkpoint
-
+@pytest.fixture(scope="module")
+def pretrained(tmp_path_factory):
+    """ONE task + float pretrain shared by BOTH QAT legs (VERDICT r4 #4:
+    the duplicated 25-epoch pretrain dominated the slow tier). Both legs
+    used seed-0 task + identical pretrain already; this just computes it
+    once."""
+    tmp_root = tmp_path_factory.mktemp("acc_e2e_pre")
     rng = np.random.default_rng(0)
     templates = rng.standard_normal((CLASSES, IMG, IMG, 3)).astype(
         np.float32)
@@ -125,11 +128,16 @@ def _train(tmp_root, sparsity: float):
     npz = str(tmp_root / "task.npz")
     np.savez(npz, train_images=tr_x, train_labels=tr_y,
              test_images=te_x, test_labels=te_y)
-
-    fp_path = str(tmp_root / "float_params.pkl")
     fparams = _float_pretrain(tr_x, tr_y)
-    with open(fp_path, "wb") as f:
+    with open(str(tmp_root / "float_params.pkl"), "wb") as f:
         pickle.dump(fparams, f)
+    return tmp_root, npz, fparams, te_x, te_y
+
+
+def _train(tmp_root, npz, fparams, sparsity: float):
+    from quantized_vit_tpu.cli.train import main
+    from quantized_vit_tpu.opt.checkpoint import save_checkpoint
+
     qinit = _merge_into_quant_tree(fparams)
     save_checkpoint(str(tmp_root / "qat_init"), qinit, None,
                     {"phase": "float-pretrained"})
@@ -148,17 +156,23 @@ def _train(tmp_root, sparsity: float):
         "--target-group-sparsity", str(sparsity),
         "--out-dir", out, "--seed", "0",
     ])
+    return out
+
+
+@pytest.fixture(scope="module")
+def trained(pretrained, tmp_path_factory):
+    tmp_root, npz, fparams, te_x, te_y = pretrained
+    out = _train(tmp_path_factory.mktemp("acc_e2e"), npz, fparams,
+                 sparsity=0.0)
     return out, te_x, te_y
 
 
 @pytest.fixture(scope="module")
-def trained(tmp_path_factory):
-    return _train(tmp_path_factory.mktemp("acc_e2e"), sparsity=0.0)
-
-
-@pytest.fixture(scope="module")
-def trained_pruned(tmp_path_factory):
-    return _train(tmp_path_factory.mktemp("acc_e2e_prune"), sparsity=0.3)
+def trained_pruned(pretrained, tmp_path_factory):
+    tmp_root, npz, fparams, te_x, te_y = pretrained
+    out = _train(tmp_path_factory.mktemp("acc_e2e_prune"), npz, fparams,
+                 sparsity=0.3)
+    return out, te_x, te_y
 
 
 def _top1(logits, labels):
@@ -243,3 +257,130 @@ def test_pruned_subnet_int_path_top1_within_0p1pct(trained_pruned):
     assert abs(top1_int - top1_fake) <= 1e-3 + 1e-9, (
         f"pruned INT path top-1 {top1_int} vs fake-quant {top1_fake} "
         f"({N_TEST} samples)")
+
+
+# ---------------------------------------------------------------------------
+# SENSITIVE rehearsal (VERDICT r4 #4): a task where W4A4 measurably hurts
+# ---------------------------------------------------------------------------
+
+ALPHA_HARD = 0.25  # template amplitude: float ~0.6 top-1, W4A4 ~0.52
+                   # (calibrated on chip+CPU, tools/exp_sensitive_task.py)
+
+
+def _fit(model, params, tr_x, tr_y, epochs, lr):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    tx = optax.adam(lr)
+    state = tx.init(params)
+
+    @jax.jit
+    def step(p, s, xb, yb):
+        def loss_fn(p):
+            lg = model.apply({"params": p}, xb)
+            oh = jax.nn.one_hot(yb, CLASSES)
+            return -jnp.mean(jnp.sum(jax.nn.log_softmax(lg) * oh, -1))
+        _, g = jax.value_and_grad(loss_fn)(p)
+        u, s = tx.update(g, s, p)
+        return optax.apply_updates(p, u), s
+
+    for ep in range(epochs):
+        idx = np.random.default_rng(ep).permutation(len(tr_x))
+        for i in range(0, len(tr_x), 64):
+            b = idx[i:i + 64]
+            params, state = step(params, state, jnp.asarray(tr_x[b]),
+                                 jnp.asarray(tr_y[b]))
+    return params
+
+
+def sensitive_train():
+    """Low-SNR task + tight model where 4-bit fake-quant measurably costs
+    top-1 (float-vs-W4A4 gap calibrated at ~7% — the regime where 'INT
+    path tracks fake-quant within 0.1%' is a falsifiable claim, unlike
+    the 99.6%-top-1 easy task where quantization cannot move the
+    metric). Recipe mirrors the reference: float pretrain -> 4-bit
+    quantize-wrap -> fine-tune. Module-level (not a fixture) so
+    tools/accuracy_on_chip.py reuses the EXACT recipe for the on-chip
+    leg."""
+    import flax
+    import jax
+    import jax.numpy as jnp
+
+    from quantized_vit_tpu.models import (QuantConfig, VisionTransformer,
+                                          init_quant_params_tree)
+    from quantized_vit_tpu.models.vit import ViTConfig
+
+    rng = np.random.default_rng(0)
+    templates = rng.standard_normal((CLASSES, IMG, IMG, 3)).astype(
+        np.float32)
+    labels_tr = rng.integers(0, CLASSES, N_TRAIN)
+    tr_x = (rng.standard_normal((N_TRAIN, IMG, IMG, 3)).astype(np.float32)
+            + ALPHA_HARD * templates[labels_tr])
+    labels_te = rng.integers(0, CLASSES, N_TEST)
+    te_x = (rng.standard_normal((N_TEST, IMG, IMG, 3)).astype(np.float32)
+            + ALPHA_HARD * templates[labels_te])
+
+    kw = dict(img_size=IMG, patch_size=PATCH, embed_dim=64, depth=2,
+              num_heads=2, num_classes=CLASSES)
+    cfg_f = ViTConfig(quant=QuantConfig.off(), **kw)
+    mf = VisionTransformer(cfg_f)
+    pf = flax.core.unfreeze(mf.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 3)))["params"])
+    pf = _fit(mf, pf, tr_x, labels_tr, epochs=16, lr=2e-3)
+
+    cfg_q = ViTConfig(quant=QuantConfig(enabled=True), **kw)
+    mq = VisionTransformer(cfg_q)
+    pq = flax.core.unfreeze(mq.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 3)))["params"])
+
+    def merge(qnode, fnode):
+        for k, v in fnode.items():
+            if isinstance(v, dict):
+                merge(qnode[k], v)
+            else:
+                qnode[k] = v
+
+    merge(pq, pf)
+    pq = init_quant_params_tree(pq, init_bits=4.0)  # W4A4 directly
+    pq = _fit(mq, pq, tr_x, labels_tr, epochs=6, lr=5e-4)
+    return (mf, pf, cfg_f), (mq, pq, cfg_q), te_x.astype(np.float32), \
+        labels_te
+
+
+@pytest.fixture(scope="module")
+def sensitive_trained():
+    return sensitive_train()
+
+
+def test_sensitive_task_w4a4_gap_and_int_tracks_fake_quant(
+        sensitive_trained):
+    """(a) float vs W4A4 fake-quant top-1 differ MEASURABLY (>= 2%; the
+    rehearsal can fail); (b) the INT serving path tracks FAKE-QUANT (not
+    float) within 0.1% on the same 2000 samples — the discriminating
+    form of the BASELINE.md accuracy bound."""
+    from quantized_vit_tpu.serve import export_vit_int4, vit_int4_forward
+
+    (mf, pf, cfg_f), (mq, pq, cfg_q), te_x, te_y = sensitive_trained
+
+    y_float = _batched_apply(
+        lambda xb: mf.apply({"params": pf}, xb), te_x)
+    top1_float = _top1(y_float, te_y)
+    y_fake = _batched_apply(
+        lambda xb: mq.apply({"params": pq}, xb), te_x)
+    top1_fake = _top1(y_fake, te_y)
+
+    assert top1_float >= 0.5, f"float model failed the task: {top1_float}"
+    assert top1_float - top1_fake >= 0.02, (
+        f"task not quantization-sensitive: float {top1_float} vs W4A4 "
+        f"{top1_fake} — the <=0.1% assertion below would be vacuous")
+
+    art = export_vit_int4(cfg_q, pq)
+    y_int = _batched_apply(
+        lambda xb: vit_int4_forward(art, xb, cfg_q, use_pallas=False),
+        te_x)
+    top1_int = _top1(y_int, te_y)
+    assert abs(top1_int - top1_fake) <= 1e-3 + 1e-9, (
+        f"INT path top-1 {top1_int} vs fake-quant {top1_fake} on the "
+        f"sensitive task (float is {top1_float} — tracking float would "
+        "be a REAL failure here)")
