@@ -51,7 +51,7 @@ def test_stack_unstack_roundtrip():
             np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
 
 
-@pytest.mark.parametrize("n_micro", [1, 2, 4])
+@pytest.mark.parametrize("n_micro", [1, 4])
 def test_gpipe_blocks_match_sequential(n_micro):
     from quantized_vit_tpu.models.vit import Block
 

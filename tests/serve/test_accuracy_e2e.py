@@ -41,7 +41,7 @@ def _make_task(rng, n, templates):
     return images.astype(np.float32), labels
 
 
-def _float_pretrain(tr_x, tr_y, epochs=25):
+def _float_pretrain(tr_x, tr_y, epochs=16):
     """Phase 1: plain-adam float training (the stand-in for the reference's
     ImageNet-21k checkpoint, train.py:236-245)."""
     import flax
@@ -146,11 +146,11 @@ def _train(tmp_root, npz, fparams, sparsity: float):
     main([
         "--model", "vit_small_test", "--dataset", "npz", "--data-path", npz,
         "--img-size", str(IMG), "--num-classes", str(CLASSES),
-        "--batch-size", "32", "--epochs", "8", "--lr", "5e-4",
+        "--batch-size", "32", "--epochs", "6", "--lr", "5e-4",
         "--lr-quant", "1e-4", "--weights", str(tmp_root / "qat_init"),
         "--max-bit", "8", "--min-bit", "4",
         "--variant", "adam",
-        "--projection-start-epochs", "1", "--projection-epochs", "3",
+        "--projection-start-epochs", "1", "--projection-epochs", "2",
         "--projection-periods", "4", "--pruning-epochs", "2",
         "--pruning-periods", "2", "--bit-reduction", "1",
         "--target-group-sparsity", str(sparsity),
