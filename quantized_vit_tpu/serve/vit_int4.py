@@ -345,8 +345,15 @@ def _vit_block(x2d, blk, *, b: int, n_pad: int, n_real: int, dim: int,
             jnp.dtype(float_dtype).itemsize) < 224
         if big_weights and x2d.shape[0] > 576:
             mlp_aligned = False  # -> chain
-            if use_pallas and x2d.shape[0] % 288 == 0:
-                chain_bm = 288
+            if use_pallas:
+                # measured chain tiles for the big-weight (ViT-H-class)
+                # geometries: 544 at 272-row token padding (fc1 100.3 us
+                # vs 115.0 at the auto bm=128 — round-5 sweep), 288 at
+                # the r4 288-row geometry
+                for cb in (544, 288):
+                    if x2d.shape[0] % cb == 0:
+                        chain_bm = cb
+                        break
     if mlp_aligned:
         # whole-MLP-block kernel: the [M, hidden] tensor never touches
         # HBM and x is read once (ops/fused.py:fused_mlp — fc1 VPU
@@ -354,15 +361,21 @@ def _vit_block(x2d, blk, *, b: int, n_pad: int, n_real: int, dim: int,
         # fc1/fc2 kernel pair, -40us/block measured on v5e)
         from ..ops import fused_mlp
 
+        # Measured M-tile overrides for the 208-token geometries (the
+        # conservative fits predicate rejects these, Mosaic runs them
+        # fine — it fails loudly, never silently, on a real overflow):
+        # ViT-B (768, 3072): bm=832 — 197.4 us vs 200.9 at the gated 416
+        # (tools/exp_pad208.py); ViT-L (1024, 4096): bm=416 — 175.1 us
+        # vs 190.5 auto (round-5 ViT-L tile sweep). Gated to the exact
+        # measured (k, hid).
         mlp_bm = None
-        if (use_pallas and fc1_e.fmt == "int8" and x2d.shape[1] == 768
-                and hid_dim == 3072 and x2d.shape[0] % 832 == 0):
-            # ViT-B 208-token geometry: bm=832 measured 197.4 us vs 200.9
-            # at the fits-gated 416 (tools/exp_pad208.py). Explicit
-            # because the conservative fits predicate rejects 832; gated
-            # to the exact measured (k, hid) — Mosaic would fail loudly,
-            # not silently, on an unmeasured bigger geometry
-            mlp_bm = 832
+        if use_pallas and fc1_e.fmt == "int8":
+            if (x2d.shape[1] == 768 and hid_dim == 3072
+                    and x2d.shape[0] % 832 == 0):
+                mlp_bm = 832
+            elif (x2d.shape[1] == 1024 and hid_dim == 4096
+                    and x2d.shape[0] % 416 == 0):
+                mlp_bm = 416
         x2d = fused_mlp(
             x2d, fc1_e.w, fc1_e.scale, fc1_e.bias,
             fc2_e.w, fc2_e.scale, fc2_e.bias,

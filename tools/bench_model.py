@@ -82,13 +82,14 @@ def main():
     dt = max((_timeit(chain, art, images_p) - floor) / ITERS, 1e-9)
     ips = batch / dt
 
-    # int8-MXU roofline MACs/img: 4 matmuls/block + patch embed + head,
-    # tokens padded to the 32-row multiple
-    n_pad = -(-cfg.num_tokens // 32) * 32
+    # int8-MXU roofline MACs/img, MODEL-FLOPs convention (round 5,
+    # matching bench.py): useful work = the REAL tokens' matmul MACs —
+    # pad rows are implementation overhead, not work
+    n_tok = cfg.num_tokens
     d, hid = cfg.embed_dim, int(cfg.embed_dim * cfg.mlp_ratio)
-    macs = cfg.depth * n_pad * (d * 3 * d + d * d + 2 * d * hid) \
+    macs = cfg.depth * n_tok * (d * 3 * d + d * d + 2 * d * hid) \
         + cfg.num_patches * (cfg.patch_size**2 * 3) * d + d * 1000
-    attn_flops = cfg.depth * 2 * cfg.num_heads * n_pad * n_pad * \
+    attn_flops = cfg.depth * 2 * cfg.num_heads * n_tok * n_tok * \
         (d // cfg.num_heads) * 2
     ideal_s = (2 * macs / 394e12 + attn_flops / 197e12) * batch
     print(f"{name} batch {batch}: {dt*1e3:.3f} ms/batch -> "
