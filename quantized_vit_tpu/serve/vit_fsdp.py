@@ -294,14 +294,15 @@ def vit_int4_forward_fsdp(art, images, cfg: ViTConfig, mesh: Mesh,
         raise ValueError(f"batch {b} not divisible by device count {n_dev}")
 
     n_real = cfg.num_tokens
-    n_pad = _round_up(n_real, 32)
+    n_pad = _round_up(n_real, 16)  # 208-token padding (round 5)
     hd = cfg.embed_dim // cfg.num_heads
     sm_scale = cfg.qk_scale if cfg.qk_scale is not None else hd**-0.5
 
     def body(art, images_loc):
         b_loc = images_loc.shape[0]
         x2d, _, dim = _embed_tokens(art, images_loc, cfg, use_pallas,
-                                    float_dtype, images_layout)
+                                    float_dtype, images_layout,
+                                    n_align=16)
 
         blocks = art["blocks"]
         # one-block lookahead: issue block i+1's weight gathers before
@@ -369,7 +370,7 @@ def vit_int4_forward_fsdp_rdma(art, images, cfg: ViTConfig, mesh: Mesh,
         raise ValueError(f"batch {b} not divisible by device count {n_dev}")
 
     n_real = cfg.num_tokens
-    n_pad = _round_up(n_real, 32)
+    n_pad = _round_up(n_real, 16)  # 208-token padding (round 5)
     hd = cfg.embed_dim // cfg.num_heads
     sm_scale = cfg.qk_scale if cfg.qk_scale is not None else hd**-0.5
     use_pallas = not interpret
@@ -377,7 +378,8 @@ def vit_int4_forward_fsdp_rdma(art, images, cfg: ViTConfig, mesh: Mesh,
     def body(art, images_loc):
         b_loc = images_loc.shape[0]
         x2d, _, dim = _embed_tokens(art, images_loc, cfg, use_pallas,
-                                    float_dtype, images_layout)
+                                    float_dtype, images_layout,
+                                    n_align=16)
         blocks = art["blocks"]
         kw = dict(b=b_loc, n_pad=n_pad, n_real=n_real, dim=dim, hd=hd,
                   sm_scale=sm_scale, tp=tp, float_dtype=float_dtype,

@@ -255,7 +255,7 @@ def vit_int4_forward_tp(art, images, cfg: ViTConfig, mesh: Mesh,
         raise ValueError(f"batch {b} not divisible by dp*tp={dp * tp}")
 
     n_real = cfg.num_tokens
-    n_pad = _round_up(n_real, 32)
+    n_pad = _round_up(n_real, 16)  # 208-token padding (round 5)
     hd = cfg.embed_dim // cfg.num_heads
     sm_scale = cfg.qk_scale if cfg.qk_scale is not None else hd**-0.5
     attn_fn = attention_qkv if use_pallas else attention_qkv_xla
@@ -263,7 +263,8 @@ def vit_int4_forward_tp(art, images, cfg: ViTConfig, mesh: Mesh,
     def body(art, images_loc):
         b_loc = images_loc.shape[0]
         x2d, _, dim = _embed_tokens(art, images_loc, cfg, use_pallas,
-                                    float_dtype, images_layout)
+                                    float_dtype, images_layout,
+                                    n_align=16)
         b_grp = b_loc * tp
 
         for blk in art["blocks"]:
