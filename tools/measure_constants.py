@@ -148,7 +148,7 @@ def main():
     KNOWN_KEYS = set(out) | {
         "batch1_latency_ms",  # TPU-only; keep a prior value on CPU runs
         "train_qat_warmup_ms_per_step_b32", "train_qat_range_ms_per_step_b32",
-        "train_qat_fastbwd_ms_per_step_b32",
+        "train_qat_bf16mm_ms_per_step_b32",
         "train_bf16_ms_per_step_b32", "train_f32_ms_per_step_b32",
         "train_qat_overhead_vs_f32", "train_qat_overhead_vs_bf16",
     }
