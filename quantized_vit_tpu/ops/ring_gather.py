@@ -59,7 +59,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fused import _fused_mlp_kernel, _round_up
 
-_ANY = pl.BlockSpec(memory_space=pltpu.ANY)
+_ANY = pl.BlockSpec(memory_space=pl.ANY)
 
 
 def _sublane(dtype) -> int:
