@@ -19,8 +19,14 @@ from .attention import (
 )
 from .reference import int4_matmul_ref, int8_matmul_ref, quant_linear_ref
 
+from .block_stack import vit_block_stack
+from .ring_gather import fused_mlp_gather, gather_rows
+
 __all__ = [
     "int4_matmul",
+    "vit_block_stack",
+    "gather_rows",
+    "fused_mlp_gather",
     "quant_matmul_fa",
     "int8_matmul",
     "int4_matmul_xla",
